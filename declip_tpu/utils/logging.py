@@ -1,0 +1,81 @@
+"""Process-0 logging + scalar metrics writer.
+
+Reference: single root logger writing <exp>/log.txt with non-rank-0 processes
+silenced by a drop-all filter (prototype/utils/misc.py:73-109), plus a rank-0
+tensorboardX SummaryWriter under <exp>/events/ (prototype/solver/
+clip_solver.py:119-120). We keep the file/console logger and replace
+tensorboard with a dependency-free JSONL scalar writer (one line per scalar:
+{"step": N, "tag": ..., "value": ...}) that any dashboard can tail.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import sys
+import time
+from typing import Optional
+
+
+def is_main_process() -> bool:
+    import jax
+
+    return jax.process_index() == 0
+
+
+def create_logger(log_file: Optional[str] = None, name: str = "declip_tpu",
+                  level: int = logging.INFO) -> logging.Logger:
+    logger = logging.getLogger(name)
+    logger.setLevel(level)
+    logger.propagate = False
+    if logger.handlers:
+        return logger
+    fmt = logging.Formatter(
+        "%(asctime)s %(levelname)s %(filename)s:%(lineno)d] %(message)s"
+    )
+    main = True
+    try:
+        main = is_main_process()
+    except Exception:
+        pass
+    if main:
+        sh = logging.StreamHandler(sys.stdout)
+        sh.setFormatter(fmt)
+        logger.addHandler(sh)
+        if log_file:
+            os.makedirs(os.path.dirname(log_file) or ".", exist_ok=True)
+            fh = logging.FileHandler(log_file)
+            fh.setFormatter(fmt)
+            logger.addHandler(fh)
+    else:
+        logger.addHandler(logging.NullHandler())
+    return logger
+
+
+class ScalarWriter:
+    """Append-only JSONL scalar log (tensorboard replacement)."""
+
+    def __init__(self, event_dir: str, enabled: bool = True):
+        self.enabled = enabled
+        self._f = None
+        if enabled:
+            os.makedirs(event_dir, exist_ok=True)
+            self._f = open(os.path.join(event_dir, "scalars.jsonl"), "a")
+
+    def add_scalar(self, tag: str, value, step: int) -> None:
+        if self._f is None:
+            return
+        self._f.write(
+            json.dumps({"t": round(time.time(), 3), "step": int(step),
+                        "tag": tag, "value": float(value)}) + "\n"
+        )
+
+    def flush(self) -> None:
+        if self._f is not None:
+            self._f.flush()
+
+    def close(self) -> None:
+        if self._f is not None:
+            self._f.close()
+            self._f = None

@@ -1,0 +1,80 @@
+import numpy as np
+import pytest
+
+from declip_tpu.tokenizer import BpeTokenizer, EDA, IGNORE_INDEX, get_tokenizer, mask_tokens
+
+
+@pytest.fixture(scope="module")
+def tok():
+    return get_tokenizer()
+
+
+def test_vocab_structure(tok):
+    # specials are the last three ids, in order (simple_tokenizer.py:69-73)
+    assert tok.mask_id == tok.vocab_size - 1
+    assert tok.eot_id == tok.vocab_size - 2
+    assert tok.sot_id == tok.vocab_size - 3
+
+
+def test_roundtrip(tok):
+    s = "a photo of a cat."
+    ids = tok.encode(s)
+    assert tok.decode(ids) == "a photo of a cat ."
+
+
+def test_tokenize_shape_and_framing(tok):
+    arr = tok.tokenize(["hello world", "a"], context_length=77)
+    assert arr.shape == (2, 77)
+    assert arr.dtype == np.int32
+    for row in arr:
+        assert row[0] == tok.sot_id
+        nz = row[row != 0]
+        assert nz[-1] == tok.eot_id
+    # padding zeros after eot
+    assert arr[1][arr[1] != 0].size < 77
+
+
+def test_tokenize_truncation(tok):
+    long = " ".join(["word"] * 500)
+    arr = tok.tokenize(long, context_length=77)
+    assert arr.shape == (1, 77)
+    assert arr[0, 0] == tok.sot_id
+    assert arr[0, -1] == tok.eot_id  # fully packed -> eot at end
+
+
+def test_special_token_passthrough(tok):
+    ids = tok.encode("<|mask|> hi")
+    assert ids[0] == tok.mask_id
+
+
+def test_mlm_masking(tok, rng):
+    tokens = tok.tokenize(["a photo of a dog running in the park"] * 8)
+    masked, labels = mask_tokens(
+        tokens,
+        mask_id=tok.mask_id,
+        vocab_size=tok.vocab_size,
+        special_ids=(tok.sot_id, tok.eot_id),
+        rng=rng,
+    )
+    assert masked.shape == tokens.shape
+    # specials and padding untouched
+    assert (masked[tokens == 0] == 0).all()
+    assert (masked[tokens == tok.sot_id] == tok.sot_id).all()
+    assert (masked[tokens == tok.eot_id] == tok.eot_id).all()
+    # labels only where selected; selected positions keep original token
+    sel = labels != IGNORE_INDEX
+    assert sel.any()
+    assert (labels[sel] == tokens[sel]).all()
+    # most selected positions are the mask token
+    assert (masked[sel] == tok.mask_id).mean() > 0.5
+
+
+def test_eda_deterministic_and_nonempty():
+    eda = EDA(seed=0)
+    caps = ["a photo of a cat sitting on a mat"] * 4
+    out1 = EDA(seed=0).augment_batch(caps)
+    out2 = EDA(seed=0).augment_batch(caps)
+    assert out1 == out2
+    assert all(len(c.split()) >= 1 for c in out1)
+    # something changed across a batch with near-certainty
+    assert any(a != b for a, b in zip(caps, out1))
