@@ -1,0 +1,136 @@
+"""CLIP dual-encoder base model.
+
+Rebuilds prototype/model/clip.py. Key structural difference from the
+reference: the model returns *local, normalized features* and the clamped
+logit scale; the global-batch similarity logits are computed in the loss
+layer (declip_tpu.ops.contrastive) where the mesh is known. The reference
+instead all-gathers inside ``forward`` via a hand-written autograd op
+(clip.py:25-49) — under pjit/SPMD that collective is inserted by XLA.
+
+``use_allgather`` is accepted for config compatibility and forwarded to the
+loss layer's decision to build global logits.
+"""
+
+from __future__ import annotations
+
+import inspect
+import os
+from typing import Any, Dict
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from declip_tpu.utils.registry import MODELS
+from declip_tpu.models.resnet import modified_resnet_R50, modified_resnet_R101
+from declip_tpu.models.text import text_transformers
+from declip_tpu.models.vit import visual_transformer_B32, visual_transformer_B16
+
+Dtype = Any
+
+LOGIT_SCALE_INIT = float(np.log(1 / 0.07))
+LOGIT_SCALE_MAX = 100.0
+
+
+def l2_normalize(x: jax.Array, eps: float = 0.0) -> jax.Array:
+    """Reference normalizes image features with no eps, text with +1e-10
+    (clip.py:128-130)."""
+    return x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + eps)
+
+
+def _takes_train(module: nn.Module) -> bool:
+    # ResNet towers thread a `train` flag for BatchNorm; ViT/text do not.
+    return "train" in inspect.signature(type(module).__call__).parameters
+
+
+def call_tower(module: nn.Module, x: jax.Array, *, train: bool, **kw):
+    if _takes_train(module):
+        return module(x, train=train, **kw)
+    return module(x, **kw)
+
+
+class CLIP(nn.Module):
+    visual: nn.Module
+    text: nn.Module
+    use_allgather: bool = True
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.logit_scale = self.param(
+            "logit_scale", nn.initializers.constant(LOGIT_SCALE_INIT), (1,)
+        )
+
+    def scale_value(self) -> jax.Array:
+        """exp(s) clamped to <=100 (clip.py:134); zero grad past the clamp."""
+        return jnp.minimum(jnp.exp(self.logit_scale[0]), LOGIT_SCALE_MAX)
+
+    def encode_image(self, image: jax.Array, *, train: bool = False, **kw):
+        return call_tower(self.visual, image, train=train, **kw)
+
+    def encode_text(self, tokens: jax.Array, **kw):
+        return self.text(tokens, **kw)
+
+    def __call__(self, batch: Dict[str, jax.Array], *, train: bool = True):
+        images = batch["images"]
+        if images.shape[-1] > 3:  # multi-view input: CLIP uses view 1 only
+            images = images[..., :3]
+        image_embed = self.encode_image(images, train=train)
+        text_embed = self.encode_text(batch["tokens"])
+        return {
+            "image_embed": l2_normalize(image_embed),
+            "text_embed": l2_normalize(text_embed, eps=1e-10),
+            "logit_scale": self.scale_value(),
+        }
+
+
+def build_towers(kwargs: dict, image_factory, *, default_text_width: int = 512):
+    """Shared factory plumbing for all method models.
+
+    Mirrors the reference factories (clip.py:149-165): kwargs carries
+    ``image_encode``, ``text_encode`` and method kwargs under ``clip``.
+    """
+    from declip_tpu.tokenizer import get_tokenizer
+
+    image_kwargs = dict(kwargs.get("image_encode") or {})
+    text_kwargs = dict(kwargs.get("text_encode") or {})
+    dtype = kwargs.get("dtype", jnp.float32)
+    if isinstance(dtype, str):
+        dtype = jnp.dtype(dtype)
+    image_kwargs.setdefault("dtype", dtype)
+    text_kwargs.setdefault("dtype", dtype)
+    if "vocab_size" not in text_kwargs:
+        bpe_path = text_kwargs.get("bpe_path")
+        if bpe_path is not None and not os.path.exists(bpe_path):
+            bpe_path = None  # reference configs carry cluster-relative paths
+        text_kwargs["bpe_path"] = bpe_path
+        text_kwargs["vocab_size"] = get_tokenizer(bpe_path).vocab_size
+    visual = image_factory(**image_kwargs)
+    text = text_transformers(**text_kwargs)
+    clip_kwargs = dict(kwargs.get("clip") or {})
+    clip_kwargs["dtype"] = dtype
+    return visual, text, clip_kwargs
+
+
+@MODELS.register
+def clip_res50(**kwargs) -> CLIP:
+    visual, text, ck = build_towers(kwargs, modified_resnet_R50)
+    return CLIP(visual=visual, text=text, **ck)
+
+
+@MODELS.register
+def clip_res101(**kwargs) -> CLIP:
+    visual, text, ck = build_towers(kwargs, modified_resnet_R101)
+    return CLIP(visual=visual, text=text, **ck)
+
+
+@MODELS.register
+def clip_vitb32(**kwargs) -> CLIP:
+    visual, text, ck = build_towers(kwargs, visual_transformer_B32)
+    return CLIP(visual=visual, text=text, **ck)
+
+
+@MODELS.register
+def clip_vitb16(**kwargs) -> CLIP:
+    visual, text, ck = build_towers(kwargs, visual_transformer_B16)
+    return CLIP(visual=visual, text=text, **ck)

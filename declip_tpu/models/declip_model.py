@@ -1,0 +1,149 @@
+"""DeCLIP model: CLIP + SimSiam two-view image SS + MLM text SS + hooks for
+NN-bank supervision.
+
+Rebuilds prototype/model/declip.py. Structural deltas for the TPU build:
+- EDA happens in the data pipeline; the batch carries ``tokens_aug``
+  (vs declip.py:203-212's in-forward Python loop).
+- MLM masking happens in the data pipeline; the batch carries ``mlm_tokens``
+  (masked ids, used for the main text forward exactly as the reference does)
+  and ``mlm_labels`` (-100 padded). The model returns MLM *logits*; the CE
+  lives in the loss layer (vs declip.py:326-334).
+- The NN memory bank is train-step state (declip_tpu.models.memory_bank);
+  the model only provides the feature dict plus the optional nn-simsiam
+  projector heads.
+- All-gather + logits live in the loss layer.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from declip_tpu.utils.registry import MODELS
+from declip_tpu.models.clip_model import (
+    LOGIT_SCALE_INIT,
+    LOGIT_SCALE_MAX,
+    build_towers,
+    call_tower,
+    l2_normalize,
+)
+from declip_tpu.models.heads import PredictionMLP, ProjectionMLP
+from declip_tpu.models.resnet import modified_resnet_R50, modified_resnet_R101
+from declip_tpu.models.vit import visual_transformer_B32, visual_transformer_B16
+
+Dtype = Any
+
+
+class DECLIP(nn.Module):
+    visual: nn.Module
+    text: nn.Module
+    use_allgather: bool = True
+    nn_size: int = 2 ** 16
+    nn_topk: int = 1
+    return_dense: bool = False
+    return_simsiam_text: bool = False
+    return_simsiam_nn_text: bool = False
+    return_caption: bool = False
+    return_nn_bank: bool = False
+    text_mask_type: Any = None
+    EDA: bool = True
+    feature_dim: int = 1024
+    forward_type: str = "split"
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.logit_scale = self.param(
+            "logit_scale", nn.initializers.constant(LOGIT_SCALE_INIT), (1,)
+        )
+        self.projector = ProjectionMLP(dtype=self.dtype)
+        self.predictor = PredictionMLP(dtype=self.dtype)
+        if self.text_mask_type is not None:
+            self.text_label_predictor = nn.Dense(
+                self.text.vocab_size, dtype=self.dtype
+            )
+        if self.return_simsiam_nn_text:
+            self.projector_nn_text = ProjectionMLP(dtype=self.dtype)
+            self.predictor_nn_text = PredictionMLP(dtype=self.dtype)
+
+    def scale_value(self) -> jax.Array:
+        return jnp.minimum(jnp.exp(self.logit_scale[0]), LOGIT_SCALE_MAX)
+
+    def encode_image(self, image, *, train: bool = False, **kw):
+        return call_tower(self.visual, image, train=train, **kw)
+
+    def encode_text(self, tokens, **kw):
+        return self.text(tokens, **kw)
+
+    def __call__(self, batch: Dict[str, jax.Array], *, train: bool = True):
+        images = batch["images"]  # [B, H, W, 6] two stacked views (NHWC)
+        img1, img2 = jnp.split(images, 2, axis=-1)
+
+        mlm = self.text_mask_type is not None
+        out: Dict[str, Any] = {}
+        if mlm:
+            # main text forward runs on MASKED tokens (declip.py:214-216)
+            text_embed, words = self.text(batch["mlm_tokens"], return_dense=True)
+            out["mlm_logits"] = self.text_label_predictor(words)
+            out["mlm_labels"] = batch["mlm_labels"]
+        else:
+            text_embed = self.text(batch["tokens"])
+        text_embed_aug = self.text(batch["tokens_aug"])
+
+        image_embed_1 = self.encode_image(img1, train=train)
+        image_embed_2 = self.encode_image(img2, train=train)
+
+        z1 = self.projector(image_embed_1, train=train)
+        z2 = self.projector(image_embed_2, train=train)
+        p1 = self.predictor(z1, train=train)
+        p2 = self.predictor(z2, train=train)
+        out["simsiam"] = (p1, z1, p2, z2)
+
+        text_embed = l2_normalize(text_embed, eps=1e-10)
+        text_embed_aug = l2_normalize(text_embed_aug, eps=1e-10)
+        out["image_embed_1"] = l2_normalize(image_embed_1)
+        out["image_embed_2"] = l2_normalize(image_embed_2)
+        out["text_embed"] = text_embed
+        out["text_embed_aug"] = text_embed_aug
+        out["logit_scale"] = self.scale_value()
+
+        if self.return_simsiam_text:
+            z1t = self.projector(text_embed, train=train)
+            z2t = self.projector(text_embed_aug, train=train)
+            out["text_simsiam"] = (
+                self.predictor(z1t, train=train),
+                z1t,
+                self.predictor(z2t, train=train),
+                z2t,
+            )
+        return out
+
+    def nn_text_simsiam(self, text_embed, text_embed_nn_list, *, train: bool = True):
+        """Projector/predictor over NN-bank text features (declip.py:311-316).
+
+        Called by the train step when ``return_simsiam_nn_text`` is on, with
+        the bank query results (a tuple of [B, D] arrays).
+        """
+        z_text = self.projector_nn_text(text_embed, train=train)
+        z_nn = [self.projector_nn_text(t, train=train) for t in text_embed_nn_list]
+        return self.predictor_nn_text(z_text, train=train), z_nn
+
+
+@MODELS.register
+def declip_res50(**kwargs) -> DECLIP:
+    visual, text, ck = build_towers(kwargs, modified_resnet_R50)
+    return DECLIP(visual=visual, text=text, **ck)
+
+
+@MODELS.register
+def declip_res101(**kwargs) -> DECLIP:
+    visual, text, ck = build_towers(kwargs, modified_resnet_R101)
+    return DECLIP(visual=visual, text=text, **ck)
+
+
+@MODELS.register
+def declip_vitb32(**kwargs) -> DECLIP:
+    visual, text, ck = build_towers(kwargs, visual_transformer_B32)
+    return DECLIP(visual=visual, text=text, **ck)

@@ -1,0 +1,190 @@
+"""DeFILIP model: the full DeCLIP recipe + FILIP dense late interaction.
+
+Rebuilds prototype/model/defilip.py (which is a copy of declip.py plus the
+``return_filip`` dense head, defilip.py:178-183). Behavior notes mirrored
+exactly:
+- Main text forward on MLM-masked tokens; the AUG text forward is unmasked
+  but returns dense word features for the dense head (defilip.py:290-292).
+- Both image views produce dense patch features (defilip.py:309-312); the
+  primary dense logits pair view1 x text, with optional ``dense_aug`` 4-way
+  combinations (defilip.py:329-339, 400-403) computed in the loss layer.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from declip_tpu.utils.registry import MODELS
+from declip_tpu.models.clip_model import (
+    LOGIT_SCALE_INIT,
+    LOGIT_SCALE_MAX,
+    build_towers,
+    call_tower,
+    l2_normalize,
+)
+from declip_tpu.models.filip_model import topk_token_select
+from declip_tpu.models.heads import PredictionMLP, ProjectionMLP
+from declip_tpu.models.vit import visual_transformer_B32
+
+Dtype = Any
+
+
+class DEFILIP(nn.Module):
+    visual: nn.Module
+    text: nn.Module
+    use_allgather: bool = True
+    nn_size: int = 2 ** 16
+    nn_topk: int = 1
+    return_dense: bool = False
+    return_simsiam_text: bool = False
+    return_simsiam_nn_text: bool = False
+    return_caption: bool = False
+    return_nn_bank: bool = False
+    text_mask_type: Any = None
+    EDA: bool = True
+    feature_dim: int = 1024
+    forward_type: str = "split"
+    return_filip: bool = True
+    dense_embed_dim: int = 256
+    dense_mapping_image: int = 768
+    dense_mapping_language: int = 512
+    dense_aug: bool = False
+    select_topk: bool = True
+    top_k: int = 16
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.logit_scale = self.param(
+            "logit_scale", nn.initializers.constant(LOGIT_SCALE_INIT), (1,)
+        )
+        self.projector = ProjectionMLP(dtype=self.dtype)
+        self.predictor = PredictionMLP(dtype=self.dtype)
+        if self.text_mask_type is not None:
+            self.text_label_predictor = nn.Dense(
+                self.text.vocab_size, dtype=self.dtype
+            )
+        if self.return_simsiam_nn_text:
+            self.projector_nn_text = ProjectionMLP(dtype=self.dtype)
+            self.predictor_nn_text = PredictionMLP(dtype=self.dtype)
+        if self.return_filip:
+            self.logit_scale_dense = self.param(
+                "logit_scale_dense", nn.initializers.constant(LOGIT_SCALE_INIT), ()
+            )
+            self.image_mapping = nn.Dense(self.dense_embed_dim, dtype=self.dtype)
+            self.text_mapping = nn.Dense(self.dense_embed_dim, dtype=self.dtype)
+
+    def scale_value(self) -> jax.Array:
+        return jnp.minimum(jnp.exp(self.logit_scale[0]), LOGIT_SCALE_MAX)
+
+    def encode_image(self, image, *, train: bool = False, **kw):
+        return call_tower(self.visual, image, train=train, **kw)
+
+    def encode_text(self, tokens, **kw):
+        return self.text(tokens, **kw)
+
+    def encode_image_dense(self, image, *, train: bool = False):
+        _, dense = call_tower(self.visual, image, train=train, return_dense=True)
+        return self.image_mapping(dense)
+
+    def encode_text_dense(self, tokens):
+        _, words = self.text(tokens, return_dense=True)
+        return self.text_mapping(words)
+
+    def nn_text_simsiam(self, text_embed, text_embed_nn_list, *, train: bool = True):
+        z_text = self.projector_nn_text(text_embed, train=train)
+        z_nn = [self.projector_nn_text(t, train=train) for t in text_embed_nn_list]
+        return self.predictor_nn_text(z_text, train=train), z_nn
+
+    def __call__(self, batch: Dict[str, jax.Array], *, train: bool = True):
+        images = batch["images"]
+        img1, img2 = jnp.split(images, 2, axis=-1)
+
+        mlm = self.text_mask_type is not None
+        out: Dict[str, Any] = {}
+        if mlm:
+            text_embed, words = self.text(batch["mlm_tokens"], return_dense=True)
+            out["mlm_logits"] = self.text_label_predictor(words)
+            out["mlm_labels"] = batch["mlm_labels"]
+            # aug text: unmasked, dense (defilip.py:292)
+            text_embed_aug, words_aug = self.text(
+                batch["tokens_aug"], return_dense=True
+            )
+        else:
+            text_embed = self.text(batch["tokens"])
+            text_embed_aug, words_aug = self.text(
+                batch["tokens_aug"], return_dense=True
+            )
+            words = None
+
+        if self.return_filip:
+            image_embed_1, image_dense_1 = self.encode_image(
+                img1, train=train, return_dense=True
+            )
+            image_embed_2, image_dense_2 = self.encode_image(
+                img2, train=train, return_dense=True
+            )
+        else:
+            image_embed_1 = self.encode_image(img1, train=train)
+            image_embed_2 = self.encode_image(img2, train=train)
+
+        z1 = self.projector(image_embed_1, train=train)
+        z2 = self.projector(image_embed_2, train=train)
+        out["simsiam"] = (
+            self.predictor(z1, train=train),
+            z1,
+            self.predictor(z2, train=train),
+            z2,
+        )
+
+        out["image_embed_1"] = l2_normalize(image_embed_1)
+        out["image_embed_2"] = l2_normalize(image_embed_2)
+        out["text_embed"] = l2_normalize(text_embed, eps=1e-10)
+        out["text_embed_aug"] = l2_normalize(text_embed_aug, eps=1e-10)
+        out["logit_scale"] = self.scale_value()
+
+        if self.return_simsiam_text:
+            z1t = self.projector(out["text_embed"], train=train)
+            z2t = self.projector(out["text_embed_aug"], train=train)
+            out["text_simsiam"] = (
+                self.predictor(z1t, train=train),
+                z1t,
+                self.predictor(z2t, train=train),
+                z2t,
+            )
+
+        if self.return_filip:
+            # word features for the dense head: masked main text (the
+            # reference maps word_features from the MLM forward,
+            # defilip.py:330-333) and the unmasked aug text.
+            d_img_1 = l2_normalize(self.image_mapping(image_dense_1))
+            d_img_2 = l2_normalize(self.image_mapping(image_dense_2))
+            d_txt = l2_normalize(self.text_mapping(words if words is not None else words_aug))
+            d_txt_aug = l2_normalize(self.text_mapping(words_aug))
+            if self.select_topk:
+                d_img_1_s, d_txt_s = topk_token_select(d_img_1, d_txt, self.top_k)
+                out["dense_image_1"], out["dense_text"] = d_img_1_s, d_txt_s
+                if self.dense_aug:
+                    d_img_2_s, d_txt_aug_s = topk_token_select(
+                        d_img_2, d_txt_aug, self.top_k
+                    )
+                    out["dense_image_2"], out["dense_text_aug"] = (
+                        d_img_2_s,
+                        d_txt_aug_s,
+                    )
+            else:
+                out["dense_image_1"], out["dense_text"] = d_img_1, d_txt
+                if self.dense_aug:
+                    out["dense_image_2"], out["dense_text_aug"] = d_img_2, d_txt_aug
+            out["logit_scale_dense"] = jnp.exp(self.logit_scale_dense)
+        return out
+
+
+@MODELS.register
+def defilip_vitb32(**kwargs) -> DEFILIP:
+    visual, text, ck = build_towers(kwargs, visual_transformer_B32)
+    ck.setdefault("dense_mapping_image", 768)
+    return DEFILIP(visual=visual, text=text, **ck)

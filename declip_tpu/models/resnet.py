@@ -1,0 +1,217 @@
+"""CLIP ModifiedResNet (anti-aliased, attention-pooled).
+
+Rebuilds prototype/model/image_encoder/modified_resnet.py: 3-conv stem with
+avgpool, Bottleneck blocks with avgpool-before-stride anti-aliasing, and a
+QKV AttentionPool2d head.
+
+TPU/JAX design notes:
+- NHWC layout (TPU-native conv layout).
+- BatchNorm: flax ``nn.BatchNorm`` with fp32 statistics. Under pjit/SPMD with
+  the batch sharded over the mesh 'data' axis, batch statistics are computed
+  over the *global* batch automatically (the mean over a sharded axis is an
+  XLA psum) — this subsumes the reference's grouped SyncBatchNorm kernels
+  (modified_resnet.py:121-142) with bn_group == world_size. An optional
+  ``bn_axis_name``/``bn_group_size`` supports grouped stats under shard_map.
+- AttentionPool computes attention only for the pooled (mean) query token
+  instead of full self-attention + row 0 (modified_resnet.py:75-96) —
+  numerically identical, 50x less attention work.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from declip_tpu.ops.attention import dot_product_attention, merge_heads, split_heads
+
+Dtype = Any
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm2d/1d with fp32 stats; optionally synced over a mesh axis."""
+
+    dtype: Dtype = jnp.float32
+    zero_scale: bool = False
+    axis_name: Optional[str] = None
+    axis_index_groups: Optional[Sequence[Sequence[int]]] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
+        y = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+            scale_init=(
+                nn.initializers.zeros if self.zero_scale else nn.initializers.ones
+            ),
+            axis_name=self.axis_name,
+            axis_index_groups=self.axis_index_groups,
+        )(x.astype(jnp.float32))
+        return y.astype(self.dtype)
+
+
+def _conv(features: int, kernel: int, name: str, dtype: Dtype):
+    return nn.Conv(
+        features,
+        (kernel, kernel),
+        padding="SAME" if kernel > 1 else "VALID",
+        use_bias=False,
+        dtype=dtype,
+        name=name,
+    )
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3 -> (avgpool if stride>1) -> 1x1, all convs stride 1
+    (modified_resnet.py:14-57)."""
+
+    planes: int
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+    bn_axis_name: Optional[str] = None
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
+        inplanes = x.shape[-1]
+        out_planes = self.planes * self.expansion
+
+        out = _conv(self.planes, 1, "conv1", self.dtype)(x)
+        out = nn.relu(BatchNorm(self.dtype, axis_name=self.bn_axis_name, name="bn1")(out, train=train))
+        out = _conv(self.planes, 3, "conv2", self.dtype)(out)
+        out = nn.relu(BatchNorm(self.dtype, axis_name=self.bn_axis_name, name="bn2")(out, train=train))
+        if self.stride > 1:
+            out = nn.avg_pool(out, (self.stride, self.stride), (self.stride, self.stride))
+        out = _conv(out_planes, 1, "conv3", self.dtype)(out)
+        out = BatchNorm(
+            self.dtype, zero_scale=True, axis_name=self.bn_axis_name, name="bn3"
+        )(out, train=train)
+
+        if self.stride > 1 or inplanes != out_planes:
+            identity = nn.avg_pool(
+                x, (self.stride, self.stride), (self.stride, self.stride)
+            ) if self.stride > 1 else x
+            identity = _conv(out_planes, 1, "downsample_conv", self.dtype)(identity)
+            identity = BatchNorm(
+                self.dtype, axis_name=self.bn_axis_name, name="downsample_bn"
+            )(identity, train=train)
+        else:
+            identity = x
+        return nn.relu(out + identity)
+
+
+class AttentionPool2d(nn.Module):
+    """QKV pooling over spatial positions + mean token
+    (modified_resnet.py:60-96)."""
+
+    num_heads: int
+    output_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        # x: [B, H, W, C] -> tokens [B, HW, C]
+        b, h, w, c = x.shape
+        tokens = x.reshape(b, h * w, c)
+        mean_tok = tokens.mean(axis=1, keepdims=True)
+        tokens = jnp.concatenate([mean_tok, tokens], axis=1)  # [B, HW+1, C]
+        pos = self.param(
+            "positional_embedding",
+            nn.initializers.normal(stddev=c ** -0.5),
+            (h * w + 1, c),
+        )
+        tokens = tokens + pos.astype(self.dtype)
+
+        std = c ** -0.5
+        dense = lambda feats, name: nn.Dense(  # noqa: E731
+            feats,
+            dtype=self.dtype,
+            kernel_init=nn.initializers.normal(stddev=std),
+            name=name,
+        )
+        q = dense(c, "q_proj")(tokens[:, :1])  # only the pooled query
+        k = dense(c, "k_proj")(tokens)
+        v = dense(c, "v_proj")(tokens)
+        q = split_heads(q, self.num_heads)
+        k = split_heads(k, self.num_heads)
+        v = split_heads(v, self.num_heads)
+        o = merge_heads(dot_product_attention(q, k, v))[:, 0]
+        return dense(self.output_dim, "c_proj")(o)
+
+
+class ModifiedResNet(nn.Module):
+    layers: Tuple[int, ...] = (3, 4, 6, 3)
+    embed_dim: int = 1024
+    heads: int = 32
+    input_resolution: int = 224
+    width: int = 64
+    dtype: Dtype = jnp.float32
+    bn_axis_name: Optional[str] = None
+    # accepted for reference-config compatibility; stats are globally synced
+    # under SPMD so these only matter under shard_map (see module docstring)
+    bn_group_size: int = 1
+    bn_sync_stats: bool = False
+    use_sync_bn: bool = True
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, *, train: bool = True, return_dense: bool = False
+    ):
+        """x: [B, H, W, 3] NHWC -> [B, embed_dim]."""
+        x = x.astype(self.dtype)
+        w = self.width
+
+        # 3-layer stem (modified_resnet.py:149-157); stride-2 first conv
+        x = nn.Conv(w // 2, (3, 3), strides=2, padding=1, use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        x = nn.relu(BatchNorm(self.dtype, axis_name=self.bn_axis_name, name="bn1")(x, train=train))
+        x = _conv(w // 2, 3, "conv2", self.dtype)(x)
+        x = nn.relu(BatchNorm(self.dtype, axis_name=self.bn_axis_name, name="bn2")(x, train=train))
+        x = _conv(w, 3, "conv3", self.dtype)(x)
+        x = nn.relu(BatchNorm(self.dtype, axis_name=self.bn_axis_name, name="bn3")(x, train=train))
+        x = nn.avg_pool(x, (2, 2), (2, 2))
+
+        for stage, (blocks, planes, stride) in enumerate(
+            zip(self.layers, (w, w * 2, w * 4, w * 8), (1, 2, 2, 2))
+        ):
+            for i in range(blocks):
+                x = Bottleneck(
+                    planes,
+                    stride=stride if i == 0 else 1,
+                    dtype=self.dtype,
+                    bn_axis_name=self.bn_axis_name,
+                    name=f"layer{stage + 1}_{i}",
+                )(x, train=train)
+
+        dense = x.reshape(x.shape[0], -1, x.shape[-1])  # [B, HW, C]
+        if x.shape[1] == self.input_resolution // 32:
+            pooled = AttentionPool2d(
+                self.heads, self.embed_dim, dtype=self.dtype, name="attnpool"
+            )(x)
+        else:
+            # non-224 eval path (modified_resnet.py:205-210)
+            pooled = x.mean(axis=(1, 2))
+            pooled = nn.Dense(self.embed_dim, dtype=self.dtype, name="fc")(pooled)
+        if return_dense:
+            return pooled, dense
+        return pooled
+
+    def frozen_param_paths(self) -> Tuple[str, ...]:
+        return ()
+
+
+def modified_resnet_R50(**kwargs) -> ModifiedResNet:
+    defaults = dict(layers=(3, 4, 6, 3), heads=32, input_resolution=224, width=64)
+    defaults.update(kwargs)
+    return ModifiedResNet(**defaults)
+
+
+def modified_resnet_R101(**kwargs) -> ModifiedResNet:
+    defaults = dict(layers=(3, 4, 23, 3), heads=32, input_resolution=224, width=64)
+    defaults.update(kwargs)
+    return ModifiedResNet(**defaults)

@@ -1,0 +1,70 @@
+"""Multi-head attention compute op with XLA and Pallas paths.
+
+Replaces the reference's cuDNN ``nn.MultiheadAttention``
+(prototype/model/image_encoder/base_transformer.py:33) and
+``F.multi_head_attention_forward`` in AttentionPool2d
+(prototype/model/image_encoder/modified_resnet.py:75-94).
+
+Sequences in this workload are tiny (77 text tokens, 50/197 image patches), so
+the XLA path — two batched matmuls with an fp32 softmax, fully fused by XLA
+onto the MXU — is the default. A Pallas flash-attention path exists for the
+longer-sequence configs (ViT-B/16 and dense FILIP work) and is selected with
+``impl='pallas'`` (falls back to XLA off-TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _xla_attention(q, k, v, *, causal: bool, scale: float):
+    # q,k,v: [B, H, L, Dh]; softmax in fp32 for stability (bf16 inputs)
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+    logits = logits * scale
+    if causal:
+        L, Lk = logits.shape[-2], logits.shape[-1]
+        row = jax.lax.broadcasted_iota(jnp.int32, (L, Lk), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (L, Lk), 1)
+        logits = jnp.where(col <= row, logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+def dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    scale: Optional[float] = None,
+    impl: str = "xla",
+) -> jax.Array:
+    """Batched MHA core. Shapes ``[B, H, L, Dh]`` -> ``[B, H, Lq, Dh]``."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if impl == "pallas":
+        try:
+            from declip_tpu.ops.flash_attention import flash_attention
+
+            return flash_attention(q, k, v, causal=causal, scale=scale)
+        except Exception:  # non-TPU backend or shape not supported
+            pass
+    return _xla_attention(q, k, v, causal=causal, scale=scale)
+
+
+def split_heads(x: jax.Array, num_heads: int) -> jax.Array:
+    """[B, L, D] -> [B, H, L, D/H]"""
+    b, l, d = x.shape
+    return x.reshape(b, l, num_heads, d // num_heads).transpose(0, 2, 1, 3)
+
+
+def merge_heads(x: jax.Array) -> jax.Array:
+    """[B, H, L, Dh] -> [B, L, H*Dh]"""
+    b, h, l, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, l, h * dh)

@@ -1,0 +1,109 @@
+"""Global-batch contrastive logits + InfoNCE.
+
+TPU-native replacement for the reference's manual AllGather autograd op +
+rank-offset-label InfoNCE (prototype/model/clip.py:25-49,136-144,
+prototype/loss_functions/loss.py:24-47).
+
+Two execution modes share one math definition:
+
+1. **SPMD mode (default)** — the train step is one ``jax.jit`` over a Mesh
+   with the batch sharded along the 'data' axis. Features are *logically
+   global* arrays; ``logits = scale * img @ txt.T`` is a sharded matmul for
+   which XLA inserts the all-gather over ICI itself, and labels are simply
+   ``arange(global_batch)``. This is exactly the reference computation with
+   the collective moved into the compiler.
+
+2. **shard_map mode** — when called under ``shard_map`` with ``axis_name``
+   set, features are per-shard ``[B_local, D]``; we ``lax.all_gather`` one
+   side (tiled) and offset labels by ``axis_index * B_local``, mirroring
+   loss.py:42's ``rank*bs + arange``. The backward of ``all_gather`` is a
+   ``psum_scatter``, the same gradient the reference implements by hand
+   (clip.py:42-49). This mode is the building block for the Pallas ring
+   kernel (blockwise logits that never materialize [B, W*B]).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def gather_features(feat: jax.Array, axis_name: Optional[str]) -> jax.Array:
+    """Differentiable all-gather along a mesh axis (identity without one)."""
+    if axis_name is None:
+        return feat
+    return lax.all_gather(feat, axis_name, tiled=True)
+
+
+def similarity_logits(
+    feat_a: jax.Array,
+    feat_b_gathered: jax.Array,
+    scale: jax.Array,
+) -> jax.Array:
+    """[B_local, D] x [B_global, D] -> [B_local, B_global] in fp32."""
+    sim = jnp.einsum(
+        "nd,md->nm", feat_a, feat_b_gathered, preferred_element_type=jnp.float32
+    )
+    return scale.astype(jnp.float32) * sim
+
+
+def infonce_labels(
+    batch_size: int, axis_name: Optional[str] = None
+) -> jax.Array:
+    """Positive indices: ``axis_index * B + arange(B)`` (loss.py:37-42)."""
+    base = jnp.arange(batch_size, dtype=jnp.int32)
+    if axis_name is None:
+        return base
+    return lax.axis_index(axis_name) * batch_size + base
+
+
+def cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Mean CE over rows; logits fp32 [N, C], labels int [N]."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    return nll.mean()
+
+
+def clip_infonce(
+    logits_per_image: jax.Array,
+    logits_per_text: jax.Array,
+    labels: jax.Array,
+) -> jax.Array:
+    """Symmetric InfoNCE (ClipInfoCELoss, loss.py:37-47)."""
+    li = cross_entropy(logits_per_image, labels)
+    lt = cross_entropy(logits_per_text, labels)
+    return (li + lt) / 2
+
+
+def clip_pair_loss(
+    image_embed: jax.Array,
+    text_embed: jax.Array,
+    scale: jax.Array,
+    axis_name: Optional[str] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Full gathered CLIP loss for one (image, text) feature pair.
+
+    Returns (loss, logits_per_image, labels) — logits/labels feed accuracy
+    meters like the reference solvers do (clip_solver.py:421-430).
+    """
+    g_img = gather_features(image_embed, axis_name)
+    g_txt = gather_features(text_embed, axis_name)
+    logits_i = similarity_logits(image_embed, g_txt, scale)
+    logits_t = similarity_logits(text_embed, g_img, scale)
+    labels = infonce_labels(image_embed.shape[0], axis_name)
+    return clip_infonce(logits_i, logits_t, labels), logits_i, labels
+
+
+def topk_accuracy(
+    logits: jax.Array, labels: jax.Array, ks: Tuple[int, ...] = (1, 5)
+) -> Tuple[jax.Array, ...]:
+    """Top-k accuracies in percent (reference accuracy(), misc.py)."""
+    order = jnp.argsort(-logits, axis=-1)
+    out = []
+    for k in ks:
+        hit = (order[:, :k] == labels[:, None]).any(axis=-1)
+        out.append(100.0 * hit.mean())
+    return tuple(out)

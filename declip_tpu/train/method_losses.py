@@ -1,0 +1,262 @@
+"""Per-method training loss assembly.
+
+Mirrors the criterion sections of the five reference solvers
+(prototype/solver/{clip,slip,filip,declip,defilip}_solver.py). Each function
+takes the model's feature dict and returns ``(total_loss, metrics)``.
+
+Distribution note: the reference divides every loss term by ``world_size``
+because its DDP *sums* gradients across ranks (prototype/utils/dist.py:63-83,
+clip_solver.py:418). Here losses are per-row means and gradients are averaged
+over the mesh (pjit psum-mean), which is the same effective objective — so no
+world-size division appears.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from declip_tpu import losses as L
+from declip_tpu.ops.contrastive import (
+    clip_infonce,
+    gather_features,
+    infonce_labels,
+    similarity_logits,
+    topk_accuracy,
+)
+from declip_tpu.ops.filip_ops import late_interaction_logits
+
+Metrics = Dict[str, jax.Array]
+
+
+def _pair(img, g_txt, txt, g_img, scale, labels):
+    li = similarity_logits(img, g_txt, scale)
+    lt = similarity_logits(txt, g_img, scale)
+    return clip_infonce(li, lt, labels), li
+
+
+def clip_losses(out: Dict[str, Any], cfg: Dict, axis_name: Optional[str]
+                ) -> Tuple[jax.Array, Metrics]:
+    """clip_solver.py:407-430: single symmetric InfoNCE."""
+    scale = out["logit_scale"]
+    img, txt = out["image_embed"], out["text_embed"]
+    g_img = gather_features(img, axis_name)
+    g_txt = gather_features(txt, axis_name)
+    labels = infonce_labels(img.shape[0], axis_name)
+    loss, logits_i = _pair(img, g_txt, txt, g_img, scale, labels)
+    top1, top5 = topk_accuracy(logits_i, labels)
+    return loss, {"loss": loss, "clip_loss": loss, "top1": top1, "top5": top5,
+                  "logit_scale": scale}
+
+
+def slip_losses(out, cfg, axis_name) -> Tuple[jax.Array, Metrics]:
+    """slip_solver.py:478-512: CLIP + gathered SimCLR on the two aug views."""
+    w = cfg.get("loss_weight", {}) or {}
+    clip_l, m = clip_losses(out, cfg, axis_name)
+    sim1, sim2 = out["image_sim_1"], out["image_sim_2"]
+    g_sim1 = gather_features(sim1, axis_name)
+    g_sim2 = gather_features(sim2, axis_name)
+    labels = infonce_labels(sim1.shape[0], axis_name)
+    simclr = L.nt_xent_gather(sim1, g_sim1, sim2, g_sim2, labels,
+                              temperature=0.1)
+    total = clip_l * w.get("clip_loss", 1.0) + simclr * w.get("simclr_loss", 1.0)
+    m.update({"loss": total, "simclr_loss": simclr})
+    return total, m
+
+
+def _declip_clip_terms(out, cfg, axis_name):
+    """The 2x2 view x (text, text_aug) CLIP losses (declip_solver.py:442-452)."""
+    scale = out["logit_scale"]
+    i1, i2 = out["image_embed_1"], out["image_embed_2"]
+    t, ta = out["text_embed"], out["text_embed_aug"]
+    g_i1 = gather_features(i1, axis_name)
+    g_i2 = gather_features(i2, axis_name)
+    g_t = gather_features(t, axis_name)
+    g_ta = gather_features(ta, axis_name)
+    labels = infonce_labels(i1.shape[0], axis_name)
+
+    l1, logits_i1 = _pair(i1, g_t, t, g_i1, scale, labels)
+    l2, _ = _pair(i2, g_t, t, g_i2, scale, labels)
+    l1a, _ = _pair(i1, g_ta, ta, g_i1, scale, labels)
+    l2a, _ = _pair(i2, g_ta, ta, g_i2, scale, labels)
+
+    data_cfg = cfg.get("data", {}).get("train", {}) if cfg else {}
+    if data_cfg.get("only_image_two_view", False):
+        clip_loss = (l1 + l2) / 2
+    else:  # image_text_two_view (default for DeCLIP configs)
+        clip_loss = (l1 + l2 + l1a + l2a) / 4
+    return clip_loss, logits_i1, labels
+
+
+def declip_losses(out, cfg, axis_name, *, nn_text=None, nn_text_aug=None,
+                  nn_simsiam=None, step=0, total_steps=1
+                  ) -> Tuple[jax.Array, Metrics]:
+    """declip_solver.py:442-533 assembly.
+
+    nn_text / nn_text_aug: tuples of [B, D] NN-bank query results (normalized
+    by the caller), or None when return_nn_bank is off.
+    """
+    w = dict(cfg.get("clip_simsiam_loss_weight", {}) or {})
+    clip_loss, logits_i1, labels = _declip_clip_terms(out, cfg, axis_name)
+
+    p1, z1, p2, z2 = out["simsiam"]
+    simsiam = L.simsiam_loss(p1, z1, p2, z2)
+
+    mlm = (
+        L.mlm_loss(out["mlm_logits"], out["mlm_labels"])
+        if "mlm_logits" in out
+        else jnp.zeros(())
+    )
+
+    text_simsiam = jnp.zeros(())
+    if "text_simsiam" in out:
+        p1t, z1t, p2t, z2t = out["text_simsiam"]
+        text_simsiam = L.simsiam_loss(p1t, z1t, p2t, z2t)
+
+    nn_simsiam_loss = jnp.zeros(())
+    if nn_simsiam is not None:
+        p_text, z_nn = nn_simsiam
+        nn_simsiam_loss = L.simsiam_loss(p_text, z_nn[0], p_text, z_nn[0])
+
+    clip_nn_text = jnp.zeros(())
+    if nn_text is not None:
+        # image vs NN(text) and image vs NN(text_aug) gathered logits, fed
+        # through symmetric InfoNCE (declip_solver.py:474-482)
+        scale = out["logit_scale"]
+        i1, i2 = out["image_embed_1"], out["image_embed_2"]
+        g_nn = jnp.concatenate(
+            [gather_features(t, axis_name) for t in nn_text], axis=0
+        )
+        g_nn_aug = jnp.concatenate(
+            [gather_features(t, axis_name) for t in nn_text_aug], axis=0
+        )
+        li1 = similarity_logits(i1, g_nn, scale)
+        li1a = similarity_logits(i1, g_nn_aug, scale)
+        li2 = similarity_logits(i2, g_nn, scale)
+        li2a = similarity_logits(i2, g_nn_aug, scale)
+        l_nn1 = clip_infonce(li1, li1a, labels)
+        l_nn2 = clip_infonce(li2, li2a, labels)
+        clip_nn_text = (l_nn1 + l_nn2) / 2
+
+    # weighted total (declip_solver.py:507-533)
+    wtype = w.get("type")
+    metrics: Metrics = {}
+    if wtype is None:
+        total = clip_loss * w.get("clip_loss", 1.0)
+        total = total + simsiam * w.get("simsiam_loss", 0.0)
+        total = total + mlm * w.get("masking_language", 0.0)
+        total = total + text_simsiam * w.get("text_simsiam_loss", 0.0)
+        total = total + clip_nn_text * w.get("nn_text", 0.0)
+        total = total + nn_simsiam_loss * w.get("nn_simsiam_loss", 0.0)
+    elif wtype == "convirt":
+        ntx = (
+            L.nt_xent_convirt(out["image_embed_1"], out["text_embed"])
+            + L.nt_xent_convirt(out["image_embed_2"], out["text_embed"])
+        )
+        total = (clip_loss + ntx) / 2 * w.get("clip_loss", 1.0)
+        total = total + simsiam * w.get("simsiam_loss", 0.0)
+        metrics["nt_xent_loss"] = ntx
+    elif wtype == "linear":
+        frac = jnp.asarray(step, jnp.float32) / max(total_steps, 1)
+        cw = 0.2 + 0.8 * frac
+        total = clip_loss * cw + simsiam * (1.0 - cw)
+    elif wtype == "shift":
+        use_clip = (jnp.asarray(step) % 2) == 0
+        total = jnp.where(use_clip, clip_loss, simsiam)
+    else:
+        raise NotImplementedError(f"loss weight type {wtype!r}")
+
+    top1, top5 = topk_accuracy(logits_i1, labels)
+    metrics.update({
+        "loss": total, "clip_loss": clip_loss, "simsiam_loss": simsiam,
+        "text_mlm_loss": mlm, "clip_nn_text_loss": clip_nn_text,
+        "text_simsiam_loss": text_simsiam, "top1": top1, "top5": top5,
+        "logit_scale": out["logit_scale"],
+    })
+    return total, metrics
+
+
+def filip_losses(out, cfg, axis_name) -> Tuple[jax.Array, Metrics]:
+    """filip_solver.py:470-523: CLIP loss + dense late-interaction loss."""
+    w = dict(cfg.get("clip_simsiam_loss_weight", {}) or {})
+    scale = out["logit_scale"]
+    img, txt = out["image_embed"], out["text_embed"]
+    g_img = gather_features(img, axis_name)
+    g_txt = gather_features(txt, axis_name)
+    labels = infonce_labels(img.shape[0], axis_name)
+    clip_loss, logits_i = _pair(img, g_txt, txt, g_img, scale, labels)
+
+    dense_loss = jnp.zeros(())
+    if "dense_image" in out:
+        di, dt = out["dense_image"], out["dense_text"]
+        ds = out["logit_scale_dense"]
+        g_di = gather_features(di, axis_name)
+        g_dt = gather_features(dt, axis_name)
+        logits_di = late_interaction_logits(di, g_dt, ds)
+        logits_dt = late_interaction_logits(dt, g_di, ds)
+        dense_loss = clip_infonce(logits_di, logits_dt, labels)
+
+    mlm = (
+        L.mlm_loss(out["mlm_logits"], out["mlm_labels"])
+        if "mlm_logits" in out
+        else jnp.zeros(())
+    )
+
+    total = clip_loss * w.get("clip_loss", 0.0)
+    total = total + dense_loss * w.get("clip_dense_loss", 1.0)
+    total = total + mlm * w.get("masking_language", 0.0)
+
+    top1, top5 = topk_accuracy(logits_i, labels)
+    return total, {"loss": total, "clip_loss": clip_loss,
+                   "clip_dense_loss": dense_loss, "text_mlm_loss": mlm,
+                   "top1": top1, "top5": top5, "logit_scale": scale}
+
+
+def defilip_losses(out, cfg, axis_name, *, nn_text=None, nn_text_aug=None,
+                   nn_simsiam=None, step=0, total_steps=1
+                   ) -> Tuple[jax.Array, Metrics]:
+    """defilip_solver.py:462-480: DeCLIP assembly + `filip` dense term."""
+    w = dict(cfg.get("clip_simsiam_loss_weight", {}) or {})
+    total, metrics = declip_losses(
+        out, cfg, axis_name, nn_text=nn_text, nn_text_aug=nn_text_aug,
+        nn_simsiam=nn_simsiam, step=step, total_steps=total_steps,
+    )
+    labels = infonce_labels(out["image_embed_1"].shape[0], axis_name)
+
+    filip_loss = jnp.zeros(())
+    if "dense_image_1" in out:
+        ds = out["logit_scale_dense"]
+        d_i1, d_t = out["dense_image_1"], out["dense_text"]
+        g_dt = gather_features(d_t, axis_name)
+        g_di1 = gather_features(d_i1, axis_name)
+        l_i = late_interaction_logits(d_i1, g_dt, ds)
+        l_t = late_interaction_logits(d_t, g_di1, ds)
+        filip_loss = clip_infonce(l_i, l_t, labels)
+        if "dense_image_2" in out:  # dense_aug 4-way (defilip.py:400-403)
+            d_i2, d_ta = out["dense_image_2"], out["dense_text_aug"]
+            g_dta = gather_features(d_ta, axis_name)
+            g_di2 = gather_features(d_i2, axis_name)
+            aug_terms = [
+                clip_infonce(
+                    late_interaction_logits(d_i2, g_dt, ds),
+                    late_interaction_logits(d_t, g_di2, ds),
+                    labels,
+                ),
+                clip_infonce(
+                    late_interaction_logits(d_i1, g_dta, ds),
+                    late_interaction_logits(d_ta, g_di1, ds),
+                    labels,
+                ),
+                clip_infonce(
+                    late_interaction_logits(d_i2, g_dta, ds),
+                    late_interaction_logits(d_ta, g_di2, ds),
+                    labels,
+                ),
+            ]
+            filip_loss = (filip_loss + sum(aug_terms)) / 4
+
+    total = total + filip_loss * w.get("filip", 0.0)
+    metrics.update({"loss": total, "filip_loss": filip_loss})
+    return total, metrics

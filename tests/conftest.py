@@ -14,6 +14,16 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+# eager per-op dispatch is very slow in this environment; persist compiled
+# executables across test processes (harmless elsewhere)
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# fp32 matmuls in parity tests must be true fp32 (JAX's default matmul
+# precision downcasts inputs)
+jax.config.update("jax_default_matmul_precision", "highest")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,157 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from declip_tpu.config import parse_config
+from declip_tpu.models import model_entry
+
+B = 2
+RES = 32  # tiny resolution: ViT patch 32 -> 1 patch; ResNet -> 1x1 attnpool
+
+TINY_IMAGE_VIT = {"embed_dim": 64, "input_resolution": RES, "patch_size": 32,
+                  "width": 32, "layers": 2, "heads": 2}
+TINY_IMAGE_R50 = {"embed_dim": 64, "input_resolution": RES, "width": 16,
+                  "layers": [1, 1, 1, 1], "heads": 4}
+TINY_TEXT = {"embed_dim": 64, "transformer_width": 32, "transformer_heads": 2,
+             "transformer_layers": 2}
+
+
+def build(model_type, clip_kwargs, image=TINY_IMAGE_VIT):
+    cfg = parse_config("x: 1")
+    node = {"type": model_type, "kwargs": {
+        "image_encode": dict(image), "text_encode": dict(TINY_TEXT),
+        "clip": dict(clip_kwargs)}}
+    return model_entry(node)
+
+
+def batch_for(views: int, mlm: bool = False, aug: bool = False):
+    rng = np.random.default_rng(0)
+    b = {
+        "images": jnp.asarray(rng.normal(size=(B, RES, RES, 3 * views)), jnp.float32),
+        "tokens": jnp.asarray(rng.integers(1, 100, size=(B, 77)), jnp.int32),
+    }
+    if aug:
+        b["tokens_aug"] = jnp.asarray(rng.integers(1, 100, size=(B, 77)), jnp.int32)
+    if mlm:
+        b["mlm_tokens"] = b["tokens"]
+        b["mlm_labels"] = jnp.full((B, 77), -100, jnp.int64)
+    return b
+
+
+def init_apply(model, batch):
+    init = jax.jit(lambda: model.init(jax.random.PRNGKey(0), batch, train=True))
+    variables = init()
+    apply = jax.jit(
+        lambda v, b: model.apply(v, b, train=True, mutable=["batch_stats"])
+    )
+    out, updates = apply(variables, batch)
+    return variables, out, updates
+
+
+def test_clip_vit():
+    model = build("clip_vitb32", {"use_allgather": True})
+    _, out, _ = init_apply(model, batch_for(1))
+    assert out["image_embed"].shape == (B, 64)
+    assert out["text_embed"].shape == (B, 64)
+    np.testing.assert_allclose(
+        np.linalg.norm(out["image_embed"], axis=-1), 1.0, rtol=1e-4
+    )
+    # logit_scale starts at 1/0.07
+    assert np.isclose(float(out["logit_scale"]), 1 / 0.07, rtol=1e-3)
+
+
+def test_clip_resnet_batch_stats():
+    model = build("clip_res50", {"use_allgather": True}, image=TINY_IMAGE_R50)
+    variables, out, updates = init_apply(model, batch_for(1))
+    assert out["image_embed"].shape == (B, 64)
+    assert "batch_stats" in variables
+    # train forward must update running stats
+    old = jax.tree.leaves(variables["batch_stats"])
+    new = jax.tree.leaves(updates["batch_stats"])
+    assert any(not np.allclose(a, b) for a, b in zip(old, new))
+
+
+def test_slip():
+    model = build("slip_vitb32", {"use_allgather": True, "return_sim": True,
+                                  "feature_dim": 32, "sim_dim": 16})
+    _, out, _ = init_apply(model, batch_for(3))
+    assert out["image_sim_1"].shape == (B, 16)
+    assert out["image_sim_2"].shape == (B, 16)
+
+
+def test_declip_mlm():
+    model = build(
+        "declip_vitb32",
+        {"use_allgather": True, "text_mask_type": "MLM", "return_nn_bank": True,
+         "feature_dim": 64},
+    )
+    _, out, _ = init_apply(model, batch_for(2, mlm=True, aug=True))
+    assert out["image_embed_1"].shape == (B, 64)
+    assert out["image_embed_2"].shape == (B, 64)
+    assert out["text_embed_aug"].shape == (B, 64)
+    p1, z1, p2, z2 = out["simsiam"]
+    assert p1.shape == z1.shape == (B, 1024)
+    # vocab = 515 fallback
+    assert out["mlm_logits"].shape[:2] == (B, 77)
+
+
+def test_filip_dense():
+    model = build(
+        "filip_vitb32",
+        {"use_allgather": True, "return_dense": True, "select_topk": True,
+         "top_k": 1, "text_mask_type": "MLM"},
+    )
+    _, out, _ = init_apply(model, batch_for(2, mlm=True))
+    # RES=32/patch32 -> 1 patch token; top_k=1 selects 1
+    assert out["dense_image"].shape == (B, 1, 256)
+    assert out["dense_text"].shape == (B, 1, 256)
+    assert out["logit_scale_dense"].shape == ()
+
+
+def test_defilip():
+    model = build(
+        "defilip_vitb32",
+        {"use_allgather": True, "text_mask_type": "MLM", "return_filip": True,
+         "return_nn_bank": True, "select_topk": True, "top_k": 1,
+         "dense_aug": True},
+    )
+    _, out, _ = init_apply(model, batch_for(2, mlm=True, aug=True))
+    assert "dense_image_1" in out and "dense_text_aug" in out
+    assert out["simsiam"][0].shape == (B, 1024)
+
+
+def test_text_eot_pooling_ignores_mask_token():
+    """First-eot pooling must be insensitive to tokens after eot and to
+    high-id mask tokens (reference argmax pooling breaks there)."""
+    from declip_tpu.models.text import TextTransformer
+    from declip_tpu.tokenizer import get_tokenizer
+
+    tok = get_tokenizer()
+    m = TextTransformer(vocab_size=tok.vocab_size, embed_dim=16,
+                        transformer_width=32, transformer_heads=2,
+                        transformer_layers=1, eot_id=tok.eot_id)
+    ids = np.zeros((1, 77), np.int32)
+    ids[0, 0] = tok.sot_id
+    ids[0, 1] = 5
+    ids[0, 2] = tok.mask_id  # mask id > eot id
+    ids[0, 3] = tok.eot_id
+    v = jax.jit(lambda: m.init(jax.random.PRNGKey(0), jnp.asarray(ids)))()
+    out = jax.jit(lambda v, x: m.apply(v, x))(v, jnp.asarray(ids))
+    assert out.shape == (1, 16)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_vit_return_flags():
+    from declip_tpu.models.vit import VisualTransformer
+
+    m = VisualTransformer(input_resolution=64, patch_size=32, width=32,
+                          layers=1, heads=2, embed_dim=16)
+    x = jnp.zeros((2, 64, 64, 3))
+    v = jax.jit(lambda: m.init(jax.random.PRNGKey(0), x))()
+    out, dense, feat = jax.jit(
+        lambda v, x: m.apply(v, x, return_dense=True, return_feature=True)
+    )(v, x)
+    assert out.shape == (2, 16)
+    assert dense.shape == (2, 4, 32)
+    assert feat.shape == (2, 32)
