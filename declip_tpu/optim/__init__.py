@@ -1,0 +1,173 @@
+"""Optimizer construction (optax) — `optim_entry` equivalent.
+
+Rebuilds prototype/optimizer/: torch SGD/RMSprop/Adadelta/Adagrad/Adam/AdamW,
+LARS (lars.py), the text-AdamW + visual-SGD split optimizer
+(AdamW_SGD.py:38-138), and grad clipping. The FP16 wrappers
+(fp16_optim.py, linklink FusedFP16*) are subsumed by the bf16-compute /
+fp32-master-param policy: params and optimizer state stay fp32, the model
+computes in bf16, so the master-weight machinery disappears — fused types
+alias their base optimizer here.
+
+Per-group weight-decay overrides (pconfig, misc.py:267-412) are expressed as
+masked ``add_decayed_weights`` stages; decay ordering follows each family's
+torch semantics (coupled for SGD-likes, decoupled for AdamW).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from declip_tpu.optim.param_groups import (
+    group_mask,
+    path_prefix_mask,
+    weight_decay_masks,
+)
+from declip_tpu.optim.schedulers import scheduler_entry  # noqa: F401
+
+Schedule = Callable
+
+
+def _decay_stages(params, default_wd: float, pconfig: Dict, *, coupled: bool):
+    """Masked weight-decay transforms implementing pconfig overrides."""
+    stages = []
+    masks = weight_decay_masks(params, pconfig)
+    for value, mask in masks.items():
+        wd = default_wd if value is None else value
+        if wd:
+            stages.append(optax.masked(optax.add_decayed_weights(wd), mask))
+    return stages
+
+
+def _scale_by(kind: str, kwargs: Dict):
+    if kind in ("SGD", "FusedFP16SGD", "FP16SGD"):
+        return optax.trace(
+            decay=kwargs.get("momentum", 0.0),
+            nesterov=kwargs.get("nesterov", False),
+        ), True
+    if kind in ("AdamW", "FP16AdamW", "FusedFP16AdamW", "AdamWWithClip"):
+        b1, b2 = kwargs.get("betas", (0.9, 0.999))
+        return optax.scale_by_adam(b1=b1, b2=b2, eps=kwargs.get("eps", 1e-8)), False
+    if kind in ("Adam", "AdamWithClip"):
+        b1, b2 = kwargs.get("betas", (0.9, 0.999))
+        return optax.scale_by_adam(b1=b1, b2=b2, eps=kwargs.get("eps", 1e-8)), True
+    if kind in ("RMSprop", "FP16RMSprop"):
+        return optax.scale_by_rms(
+            decay=kwargs.get("alpha", 0.99), eps=kwargs.get("eps", 1e-8)
+        ), True
+    if kind == "Adadelta":
+        return optax.scale_by_adadelta(
+            rho=kwargs.get("rho", 0.9), eps=kwargs.get("eps", 1e-6)
+        ), True
+    if kind == "Adagrad":
+        return optax.scale_by_rss(
+            initial_accumulator_value=kwargs.get("initial_accumulator_value", 0.0),
+            eps=kwargs.get("eps", 1e-10),
+        ), True
+    raise KeyError(f"unknown optimizer type {kind!r}")
+
+
+def _single_optimizer(kind: str, kwargs: Dict, params, schedule, pconfig,
+                      grad_clip: Optional[Dict]):
+    kwargs = dict(kwargs or {})
+    wd = kwargs.get("weight_decay", 0.0)
+    stages = []
+
+    # grad clipping before the update rule (clip_solver.py:524-535)
+    if grad_clip:
+        if grad_clip.get("type") == "norm":
+            stages.append(optax.clip_by_global_norm(float(grad_clip["value"])))
+        elif grad_clip.get("type") == "value":
+            stages.append(optax.clip(float(grad_clip["value"])))
+        elif grad_clip.get("type") == "logit_scale_grad":
+            mask = group_mask(params, lambda g: g == "logit_scale")
+            stages.append(
+                optax.masked(optax.clip(float(grad_clip["value"])), mask)
+            )
+        elif grad_clip.get("type") == "constant":
+            # logit_scale frozen (clip_solver.py:501-503)
+            mask = group_mask(params, lambda g: g == "logit_scale")
+            stages.append(optax.masked(optax.set_to_zero(), mask))
+    # optimizer-integrated clip (adam_clip.py)
+    if kind in ("AdamWithClip", "AdamWWithClip") and "max_norm" in kwargs:
+        stages.append(optax.clip_by_global_norm(float(kwargs["max_norm"])))
+
+    if kind == "LARS":
+        return optax.chain(
+            *stages,
+            optax.lars(
+                learning_rate=schedule,
+                weight_decay=wd,
+                momentum=kwargs.get("momentum", 0.9),
+                eps=kwargs.get("eps", 1e-8),
+                nesterov=kwargs.get("nesterov", False),
+            ),
+        )
+
+    rule, coupled = _scale_by(kind, kwargs)
+    if coupled:
+        stages += _decay_stages(params, wd, pconfig, coupled=True)
+        stages.append(rule)
+    else:
+        stages.append(rule)
+        stages += _decay_stages(params, wd, pconfig, coupled=False)
+    stages.append(optax.scale_by_learning_rate(schedule))
+    return optax.chain(*stages)
+
+
+def optim_entry(
+    cfg: Dict,
+    params,
+    schedule: Schedule,
+    *,
+    pconfig: Optional[Dict] = None,
+    grad_clip: Optional[Dict] = None,
+    frozen_mask=None,
+) -> optax.GradientTransformation:
+    """Build the full update rule from an optimizer `{type, kwargs}` node.
+
+    frozen_mask: boolean pytree; True params get zero updates (the JAX
+    analogue of ``requires_grad=False``, e.g. ViT's frozen conv1).
+    """
+    kind = cfg["type"]
+    kwargs = dict(cfg.get("kwargs") or {})
+    pconfig = pconfig if pconfig is not None else cfg.get("pconfig") or {}
+
+    if kind in ("AdamW_SGD", "FP16AdamW_SGD"):
+        # text tower: AdamW; visual tower: SGD (AdamW_SGD.py:38-138)
+        text_kw = dict(kwargs.get("text_config") or {})
+        visual_kw = dict(kwargs.get("visual_config") or {})
+        text_lr = text_kw.pop("lr", kwargs.get("lr", 1e-4))
+        visual_lr = visual_kw.pop("lr", kwargs.get("lr", 1e-4))
+        base_lr = kwargs.get("lr", 1.0) or 1.0
+
+        def scaled(lr):
+            return lambda step: schedule(step) * (lr / base_lr)
+
+        labels = jax.tree.map(lambda _: "visual", params)
+        text_mask = path_prefix_mask(params, ("text",))
+        labels = jax.tree.map(
+            lambda is_text, lab: "text" if is_text else lab, text_mask, labels
+        )
+        tx = optax.multi_transform(
+            {
+                "text": _single_optimizer(
+                    "AdamW", text_kw, params, scaled(text_lr), pconfig, grad_clip
+                ),
+                "visual": _single_optimizer(
+                    "SGD", visual_kw, params, scaled(visual_lr), pconfig, grad_clip
+                ),
+            },
+            labels,
+        )
+    else:
+        tx = _single_optimizer(kind, kwargs, params, schedule, pconfig, grad_clip)
+
+    if frozen_mask is not None and any(jax.tree.leaves(frozen_mask)):
+        # zero updates LAST so neither the update rule nor weight decay can
+        # move frozen params (JAX analogue of requires_grad=False)
+        tx = optax.chain(tx, optax.masked(optax.set_to_zero(), frozen_mask))
+    return tx
