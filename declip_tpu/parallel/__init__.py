@@ -1,0 +1,8 @@
+from declip_tpu.parallel.mesh import (  # noqa: F401
+    DATA_AXIS,
+    batch_sharding,
+    make_mesh,
+    maybe_initialize_distributed,
+    replicated,
+    shard_batch,
+)

@@ -1,0 +1,52 @@
+"""Device mesh + sharding helpers.
+
+The TPU-native replacement for the reference's L0 distributed backend
+(linklink shim + DistModule + SLURM rendezvous, SURVEY.md §2.1): one
+``jax.sharding.Mesh`` whose 'data' axis carries the global batch; parameters
+and train state are replicated; XLA inserts all collectives (gradient psum,
+feature all-gather) during SPMD partitioning.
+
+``jax.distributed.initialize`` handles multi-host rendezvous (the analogue of
+linklink/__init__.py:42-67's SLURM parsing) — called by the solver when
+JAX coordination env vars are present.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+DATA_AXIS = "data"
+
+
+def make_mesh(devices=None, axis_name: str = DATA_AXIS) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: dict) -> dict:
+    """Device-put a host batch with the batch dim sharded over the mesh."""
+    s = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+
+
+def maybe_initialize_distributed() -> None:
+    """Multi-host rendezvous when launched under a JAX coordinator."""
+    import os
+
+    if jax.process_count() > 1:
+        return  # already initialized
+    if "COORDINATOR_ADDRESS" in os.environ or "JAX_COORDINATOR_ADDRESS" in os.environ:
+        jax.distributed.initialize()

@@ -1,0 +1,198 @@
+"""The pjit-compiled training step.
+
+One pure function ``(state, batch) -> (state, metrics)`` per method,
+replacing the reference's train-loop body (forward, criterion assembly,
+backward with per-param allreduce hooks, clip/guard passes, optimizer step,
+EMA — prototype/solver/declip_solver.py:380-820).
+
+Distribution model: the step is compiled with ``jax.jit`` over a Mesh with
+the batch sharded along the 'data' axis and state replicated. Losses are
+means over the (logically global) batch, so gradients come out globally
+averaged; the gathered-feature contrastive matmuls become sharded matmuls
+for which XLA inserts all-gathers over ICI (the reference's hand-rolled
+AllGather + allreduce hooks, clip.py:25-49 / dist.py:63-83, disappear).
+BatchNorm statistics are likewise computed over the global batch (the
+reference needed linklink SyncBN kernels for that).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from declip_tpu.models import CLIP, DECLIP, DEFILIP, FILIP, SLIP
+from declip_tpu.models.clip_model import l2_normalize
+from declip_tpu.models.memory_bank import enqueue, query_topk
+from declip_tpu.train import method_losses
+from declip_tpu.train.ema import EmaConfig, ema_step
+from declip_tpu.train.state import TrainState
+
+
+def method_of(model) -> str:
+    # order matters: DEFILIP subclasses nothing but check most-specific first
+    if isinstance(model, DEFILIP):
+        return "defilip"
+    if isinstance(model, DECLIP):
+        return "declip"
+    if isinstance(model, FILIP):
+        return "filip"
+    if isinstance(model, SLIP):
+        return "slip"
+    return "clip"
+
+
+def _find_logit_scale(params):
+    return params["logit_scale"]
+
+
+def _set_logit_scale(params, value):
+    new = dict(params)
+    new["logit_scale"] = value
+    return new
+
+
+def logit_scale_guard(
+    old_params, new_params, grad_clip: Dict, state: TrainState
+) -> Tuple[Any, Optional[jax.Array], Optional[jax.Array]]:
+    """Post-step logit-scale clamps (clip_solver.py:500-523,
+    declip_solver.py:64-86,694-706). Returns (params, ema_buffer, clip_count)."""
+    kind = (grad_clip or {}).get("type")
+    buffer = state.logit_ema_buffer
+    count = state.logit_clip_count
+    if kind in (None, "norm", "value", "logit_scale_grad", "constant"):
+        return new_params, buffer, count
+
+    s_old = _find_logit_scale(old_params)
+    s_new = _find_logit_scale(new_params)
+    if kind == "logit_scale_param":
+        v = float(grad_clip["value"])
+        s = jnp.clip(s_new, s_old - v, s_old + v)
+    elif kind == "logit_scale_param_abs_min":
+        s = jnp.maximum(s_new, float(grad_clip["value"]))
+    elif kind == "logit_scale_param_value":
+        s = jnp.clip(
+            s_new, float(grad_clip["value"]), float(grad_clip["max_value"])
+        )
+    elif kind == "logit_scale_param_ema":
+        thr = float(grad_clip.get("threshold", 0.2))
+        momentum = 0.9
+        clipped = jnp.clip(s_new, buffer - thr, buffer + thr)
+        count = count + jnp.any(clipped != s_new).astype(jnp.int32)
+        s = clipped
+        buffer = momentum * buffer + (1 - momentum) * jnp.mean(s)
+    else:
+        raise NotImplementedError(f"grad_clip type {kind!r}")
+    return _set_logit_scale(new_params, s), buffer, count
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    cfg: Dict,
+    schedule: Callable,
+    *,
+    method: Optional[str] = None,
+    axis_name: Optional[str] = None,
+    ema_cfg: Optional[EmaConfig] = None,
+    total_steps: int = 1,
+):
+    method = method or method_of(model)
+    grad_clip = dict(cfg.get("grad_clip") or {})
+    use_bank = bool(getattr(model, "return_nn_bank", False))
+    nn_topk = int(getattr(model, "nn_topk", 1))
+    use_nn_simsiam = bool(getattr(model, "return_simsiam_nn_text", False))
+
+    def loss_fn(params, state: TrainState, batch):
+        variables = {"params": params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        out, mutated = model.apply(
+            variables, batch, train=True, mutable=["batch_stats"]
+        )
+
+        nn_kwargs = {}
+        if use_bank:
+            nn = query_topk(state.bank_text, out["text_embed"], nn_topk)
+            nn_aug = query_topk(state.bank_text, out["text_embed_aug"], nn_topk)
+            nn = tuple(l2_normalize(t, eps=1e-10) for t in nn)
+            nn_aug = tuple(l2_normalize(t, eps=1e-10) for t in nn_aug)
+            nn_kwargs = {"nn_text": nn, "nn_text_aug": nn_aug}
+            if use_nn_simsiam:
+                p_text, z_nn = model.apply(
+                    variables,
+                    out["text_embed"],
+                    list(nn),
+                    train=True,
+                    method="nn_text_simsiam",
+                    mutable=False,
+                )
+                nn_kwargs["nn_simsiam"] = (p_text, z_nn)
+
+        if method == "clip":
+            total, metrics = method_losses.clip_losses(out, cfg, axis_name)
+        elif method == "slip":
+            total, metrics = method_losses.slip_losses(out, cfg, axis_name)
+        elif method == "filip":
+            total, metrics = method_losses.filip_losses(out, cfg, axis_name)
+        elif method == "declip":
+            total, metrics = method_losses.declip_losses(
+                out, cfg, axis_name, step=state.step,
+                total_steps=total_steps, **nn_kwargs,
+            )
+        elif method == "defilip":
+            total, metrics = method_losses.defilip_losses(
+                out, cfg, axis_name, step=state.step,
+                total_steps=total_steps, **nn_kwargs,
+            )
+        else:
+            raise NotImplementedError(method)
+        return total, (metrics, mutated.get("batch_stats"), out)
+
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        (_, (metrics, new_stats, out)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state, batch)
+
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            metrics = jax.lax.pmean(metrics, axis_name)
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        params, buffer, count = logit_scale_guard(
+            state.params, params, grad_clip, state
+        )
+
+        step = state.step + 1
+        ema_params = state.ema_params
+        if ema_params is not None and ema_cfg is not None:
+            ema_params = ema_step(ema_params, params, step, ema_cfg)
+
+        bank = state.bank_text
+        if use_bank:
+            # enqueue aug then orig (declip.py:288-291)
+            bank = enqueue(bank, out["text_embed_aug"])
+            bank = enqueue(bank, out["text_embed"])
+
+        new_state = state.replace(
+            step=step,
+            params=params,
+            batch_stats=new_stats if new_stats is not None else state.batch_stats,
+            opt_state=opt_state,
+            ema_params=ema_params,
+            bank_text=bank,
+            logit_ema_buffer=buffer,
+            logit_clip_count=count,
+        )
+        metrics = dict(metrics)
+        metrics["lr"] = schedule(state.step)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        if count is not None:
+            metrics["logit_clip_count"] = count
+        return new_state, metrics
+
+    return train_step

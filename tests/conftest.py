@@ -7,7 +7,6 @@ the real chip.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +14,11 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+
+# The axon sitecustomize pre-registers the TPU backend in every process and
+# overrides JAX_PLATFORMS; forcing the config AFTER import (but before any
+# backend is instantiated) reliably selects the 8-device virtual CPU platform.
+jax.config.update("jax_platforms", "cpu")
 
 # eager per-op dispatch is very slow in this environment; persist compiled
 # executables across test processes (harmless elsewhere)
