@@ -1,0 +1,92 @@
+"""Checkpoint save/restore + reference-format conversion hooks.
+
+Rebuilds the reference's single-file torch.save checkpointing
+(declip_solver.py:796-815: ``{model, optimizer, last_iter[, ema]}`` written
+by rank 0 every save_freq, long-horizon copies every 20x into
+checkpoints_k_times/, auto-resume from the newest file,
+clip_solver.py:128-176).
+
+Format: flax.serialization msgpack of the TrainState pytree plus a small
+JSON sidecar of metadata. The torch ``.pth.tar`` converter lives in
+declip_tpu/convert_pth.py.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+CKPT_RE = re.compile(r"ckpt_(\d+)\.msgpack$")
+
+
+def save_checkpoint(ckpt_dir: str, state, *, save_many: bool = False,
+                    k_times_dir: Optional[str] = None) -> str:
+    """Host-side save (call on process 0). Returns the written path."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    step = int(state.step)
+    state = jax.device_get(state)
+    blob = serialization.to_bytes(state)
+    name = f"ckpt_{step}.msgpack" if save_many else "ckpt.msgpack"
+    path = os.path.join(ckpt_dir, name)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+    with open(os.path.join(ckpt_dir, "ckpt_meta.json"), "w") as f:
+        json.dump({"last_iter": step, "path": path}, f)
+    if k_times_dir is not None:
+        os.makedirs(k_times_dir, exist_ok=True)
+        with open(os.path.join(k_times_dir, f"ckpt_{step}.msgpack"), "wb") as f:
+            f.write(blob)
+    return path
+
+
+def find_last_checkpoint(ckpt_dir: str) -> Optional[str]:
+    """ckpt.msgpack or the highest ckpt_<iter>.msgpack
+    (clip_solver.py:167-176)."""
+    plain = os.path.join(ckpt_dir, "ckpt.msgpack")
+    if os.path.exists(plain):
+        return plain
+    candidates = []
+    for p in glob.glob(os.path.join(ckpt_dir, "ckpt_*.msgpack")):
+        m = CKPT_RE.search(p)
+        if m:
+            candidates.append((int(m.group(1)), p))
+    if not candidates:
+        return None
+    return max(candidates)[1]
+
+
+def list_checkpoints(ckpt_dir: str):
+    """(step, path) ascending."""
+    out = []
+    for p in glob.glob(os.path.join(ckpt_dir, "ckpt_*.msgpack")):
+        m = CKPT_RE.search(p)
+        if m:
+            out.append((int(m.group(1)), p))
+    return sorted(out)
+
+
+def gc_checkpoints(ckpt_dir: str, keep: int = 10) -> None:
+    """Old-ckpt GC (declip_solver.py:570-576)."""
+    ckpts = list_checkpoints(ckpt_dir)
+    for _, p in ckpts[:-keep]:
+        try:
+            os.remove(p)
+        except OSError:
+            pass
+
+
+def restore_checkpoint(path: str, target):
+    """Restore into a template TrainState (shapes/dtypes from target)."""
+    with open(path, "rb") as f:
+        blob = f.read()
+    return serialization.from_bytes(target, blob)

@@ -1,0 +1,186 @@
+"""Batched, prefetching host data pipeline.
+
+Replaces the reference's torch DataLoader + DataPrefetcher
+(prototype/data/clip_dataloader.py, clip_solver.py:30-61) AND relocates the
+two CPU-in-the-hot-loop hazards identified in SURVEY.md §3.2 into the
+pipeline where they belong:
+
+- BPE tokenization (reference: inside encode_text every step,
+  text_transformer.py:185-188) -> tokenized here, batch carries int32 ids;
+- EDA caption augmentation (reference: Python loop inside DECLIP.forward,
+  declip.py:203-212) -> applied here, batch carries ``tokens_aug``;
+- MLM masking (reference: per-sequence torch loop) -> vectorized numpy here.
+
+Worker threads build whole batches; futures are consumed in submission order
+so the stream is deterministic and exactly resumable (sampler contract).
+PIL decode/resize releases the GIL, so threads scale; the C++ decode pool
+(native/) slots in underneath `dataset.__getitem__` when built.
+"""
+
+from __future__ import annotations
+
+import itertools
+import random
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from declip_tpu.tokenizer import EDA, get_tokenizer, mask_tokens
+
+
+class ClipDataLoader:
+    def __init__(
+        self,
+        dataset,
+        sampler,
+        batch_size: int,
+        *,
+        tokenizer=None,
+        context_length: int = 77,
+        eda: bool = False,
+        text_mask_type: Optional[str] = None,
+        mlm_probability: float = 0.15,
+        num_workers: int = 4,
+        prefetch: int = 4,
+        seed: int = 0,
+        drop_last: bool = True,
+        keep_raw: bool = False,
+    ):
+        self.dataset = dataset
+        self.sampler = sampler
+        self.batch_size = batch_size
+        self.tokenizer = tokenizer or get_tokenizer()
+        self.context_length = context_length
+        self.eda = eda
+        self.text_mask_type = text_mask_type
+        self.mlm_probability = mlm_probability
+        self.num_workers = max(1, num_workers)
+        self.prefetch = max(1, prefetch)
+        self.seed = seed
+        self.drop_last = drop_last
+        self.keep_raw = keep_raw
+
+    def __len__(self) -> int:
+        n = len(self.sampler)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _build_batch(self, indices: Sequence[int], batch_idx: int
+                     ) -> Dict[str, Any]:
+        items = [self.dataset[i] for i in indices]
+        images = np.stack([it["image"] for it in items]).astype(np.float32)
+        captions = [it["caption"] for it in items]
+        labels = np.asarray([it["label"] for it in items], np.int32)
+
+        tok = self.tokenizer
+        batch: Dict[str, Any] = {
+            "images": images,
+            "tokens": tok.tokenize(captions, self.context_length),
+            "labels": labels,
+        }
+        if self.eda:
+            eda = EDA(seed=self.seed * 1_000_003 + batch_idx)
+            batch["tokens_aug"] = tok.tokenize(
+                eda.augment_batch(captions), self.context_length
+            )
+        if self.text_mask_type is not None:
+            rng = np.random.default_rng((self.seed, 7, batch_idx))
+            mlm_tokens, mlm_labels = mask_tokens(
+                batch["tokens"],
+                mask_id=tok.mask_id,
+                vocab_size=tok.vocab_size,
+                special_ids=(tok.sot_id, tok.eot_id, tok.mask_id),
+                rng=rng,
+                mlm_probability=self.mlm_probability,
+            )
+            batch["mlm_tokens"] = mlm_tokens
+            batch["mlm_labels"] = mlm_labels.astype(np.int32)
+        if self.keep_raw:
+            batch["captions"] = captions
+            batch["filenames"] = [it["filename"] for it in items]
+            batch["label_names"] = [it["label_name"] for it in items]
+            batch["image_ids"] = [it["image_id"] for it in items]
+            batch["tags"] = [it["tag"] for it in items]
+        return batch
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        index_iter = iter(self.sampler)
+
+        def batches_of_indices():
+            i = 0
+            while True:
+                chunk = list(itertools.islice(index_iter, self.batch_size))
+                if not chunk:
+                    return
+                if len(chunk) < self.batch_size and self.drop_last:
+                    return
+                yield i, chunk
+                i += 1
+
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            inflight: deque = deque()
+            gen = batches_of_indices()
+            try:
+                for _ in range(self.num_workers + self.prefetch):
+                    i, chunk = next(gen)
+                    inflight.append(pool.submit(self._build_batch, chunk, i))
+            except StopIteration:
+                pass
+            while inflight:
+                out = inflight.popleft().result()
+                try:
+                    i, chunk = next(gen)
+                    inflight.append(pool.submit(self._build_batch, chunk, i))
+                except StopIteration:
+                    pass
+                yield out
+
+
+def build_clip_dataloader(split_cfg: Dict, *, world_size: int = 1,
+                          rank: int = 0, last_iter: int = -1,
+                          total_iter: Optional[int] = None,
+                          keep_raw: bool = False) -> ClipDataLoader:
+    """Config-driven builder mirroring prototype/data/clip_dataloader.py:66.
+
+    split_cfg carries the reference keys: batch_size, num_workers,
+    {root_dir, meta_file, read_from, fseek}, transforms {type}, and the
+    DeCLIP extras (EDA/text_mask_type flow from the model config through the
+    solver).
+    """
+    from declip_tpu.data.dataset import ClipDataset
+    from declip_tpu.data.sampler import (
+        DistributedGivenIterationSampler,
+        compute_total_iter,
+    )
+    from declip_tpu.data.transforms import build_common_augmentation
+
+    aug = split_cfg.get("transforms", {}).get("type", "ONECROP")
+    dataset = ClipDataset(
+        root_dir=split_cfg.get("root_dir", ""),
+        meta_file=split_cfg["meta_file"],
+        transform=build_common_augmentation(aug),
+        read_from=split_cfg.get("read_from", "fs"),
+        fseek=split_cfg.get("fseek", False),
+        label_texts_ensemble=split_cfg.get("label_texts_ensemble", "none"),
+    )
+    batch_size = int(split_cfg["batch_size"])
+    if total_iter is None:
+        total_iter = compute_total_iter(split_cfg, len(dataset), world_size)
+    sampler = DistributedGivenIterationSampler(
+        dataset_size=len(dataset),
+        total_iter=total_iter,
+        batch_size=batch_size,
+        world_size=world_size,
+        rank=rank,
+        last_iter=last_iter,
+    )
+    return ClipDataLoader(
+        dataset,
+        sampler,
+        batch_size,
+        eda=bool(split_cfg.get("eda", False)),
+        text_mask_type=split_cfg.get("text_mask_type"),
+        num_workers=int(split_cfg.get("num_workers", 4)),
+        keep_raw=keep_raw,
+    )

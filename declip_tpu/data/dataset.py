@@ -42,9 +42,14 @@ def pil_loader(data: bytes) -> Image.Image:
     return Image.open(io.BytesIO(data)).convert("RGB")
 
 
-def _synthetic_image(idx: int, size: int = 256) -> Image.Image:
-    rng = np.random.default_rng(idx)
-    arr = rng.integers(0, 255, size=(size, size, 3), dtype=np.uint8)
+def _synthetic_image(idx: int, label: Optional[int] = None,
+                     size: int = 256) -> Image.Image:
+    """Procedural image; samples of one label share a base pattern (so toy
+    runs have learnable signal), with per-sample noise on top."""
+    base_rng = np.random.default_rng(0 if label is None else 1000 + label)
+    base = base_rng.integers(0, 255, size=(size, size, 3)).astype(np.float32)
+    noise = np.random.default_rng(idx).normal(0, 30, size=(size, size, 3))
+    arr = np.clip(base + noise, 0, 255).astype(np.uint8)
     return Image.fromarray(arr, "RGB")
 
 
@@ -85,10 +90,13 @@ class ClipDataset:
         for root, meta in zip(roots, metas):
             if read_from == "synthetic":
                 n = int(meta)  # meta carries the synthetic sample count
+                n_cls = 10
                 for i in range(n):
                     self.metas.append(
                         {"filename": f"synthetic_{i}.png",
-                         "caption": f"a synthetic photo number {i}"}
+                         "caption": f"a photo of pattern {i % n_cls}",
+                         "label": i % n_cls,
+                         "label_name": f"pattern {i % n_cls}"}
                     )
                     self.roots.append(root or "")
                 self.num += n
@@ -127,7 +135,7 @@ class ClipDataset:
 
     def _load_image(self, idx: int, meta: Dict) -> Image.Image:
         if self.read_from == "synthetic":
-            return _synthetic_image(idx)
+            return _synthetic_image(idx, meta.get("label"))
         path = osp.join(self.roots[idx], meta["filename"])
         return pil_loader(self._read_bytes(path))
 

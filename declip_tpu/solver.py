@@ -1,0 +1,582 @@
+"""Config-driven training/eval solver.
+
+One generic Solver replaces the reference's five ~90%-duplicated per-method
+ClsSolver classes (prototype/solver/{clip,slip,filip,declip,defilip}_solver.py)
+— the method is inferred from the model type and dispatched inside the jitted
+train step (declip_tpu/train). Preserved reference contracts:
+
+- experiment-dir layout: checkpoints/ events/ results/ next to config.yaml
+  (clip_solver.py:110-117);
+- CLI: ``python -m declip_tpu.solver --config config.yaml [--evaluate]``
+  (clip_solver.py:740-768);
+- saver semantics: auto_resume from newest ckpt, save every save_freq,
+  long-horizon copies every 20x save_freq (declip_solver.py:796-815);
+- zero-shot protocol: per-class prompt-ensemble text embeddings, image@class
+  logits, softmax x ensemble matrix, per-rank JSONL dump -> merge -> top-k
+  (clip_solver.py:675-737); FILIP dense late-interaction eval
+  (filip_solver.py:839-960);
+- loss-spike/NaN auto-rollback: reload an old checkpoint, decay warmup_lr by
+  0.997, rebuild optimizer+schedule (declip_solver.py:548-619);
+- EMA evaluation swap (declip_solver.py:778-787).
+
+TPU structure: a single jitted train step over a data-axis Mesh; the host
+loop only feeds sharded batches and reads back metric scalars.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import os.path as osp
+import time
+from functools import partial
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from declip_tpu.checkpoint import (
+    find_last_checkpoint,
+    gc_checkpoints,
+    list_checkpoints,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from declip_tpu.config import Cfg, parse_config
+from declip_tpu.data.dataloader import ClipDataLoader
+from declip_tpu.data.dataset import ClipDataset, ImageNetDataset
+from declip_tpu.data.evaluator import ImageNetEvaluator, Metric
+from declip_tpu.data.sampler import (
+    DistributedGivenIterationSampler,
+    compute_total_iter,
+)
+from declip_tpu.data.transforms import build_common_augmentation
+from declip_tpu.models import model_entry
+from declip_tpu.models.clip_model import l2_normalize
+from declip_tpu.models.memory_bank import init_bank
+from declip_tpu.optim import optim_entry, scheduler_entry
+from declip_tpu.optim.param_groups import path_prefix_mask
+from declip_tpu.ops.filip_ops import late_interaction_logits
+from declip_tpu.parallel import make_mesh, maybe_initialize_distributed, shard_batch
+from declip_tpu.tokenizer import get_tokenizer
+from declip_tpu.train import (
+    EmaConfig,
+    TrainState,
+    init_ema,
+    make_train_step,
+    method_of,
+    new_train_state,
+)
+from declip_tpu.utils import AverageMeter, MeterGroup, ScalarWriter, create_logger
+
+
+class Solver:
+    def __init__(self, config, *, devices=None):
+        if isinstance(config, str):
+            config = parse_config(config)
+        self.config = config
+        maybe_initialize_distributed()
+        self.rank = jax.process_index()
+        self.world = jax.process_count()
+        self.setup_env()
+        self.mesh = make_mesh(devices)
+        self.n_devices = int(self.mesh.devices.size)
+        self.build_model()
+        self.build_data()
+        self.build_optimizer()
+        self.init_state()
+        self.build_step()
+
+    # ------------------------------------------------------------------ env
+    def setup_env(self):
+        cfg_path = self.config.get("_config_path")
+        base = osp.dirname(cfg_path) if cfg_path else os.getcwd()
+        self.path = Cfg(
+            root_path=base,
+            ckpt_path=osp.join(base, "checkpoints"),
+            ckpt_k_times_path=osp.join(base, "checkpoints_k_times"),
+            event_path=osp.join(base, "events"),
+            result_path=osp.join(base, "results"),
+        )
+        if self.rank == 0:
+            for p in (self.path.ckpt_path, self.path.event_path,
+                      self.path.result_path):
+                os.makedirs(p, exist_ok=True)
+        self.logger = create_logger(osp.join(base, "log.txt"))
+        self.writer = ScalarWriter(self.path.event_path, enabled=self.rank == 0)
+        self.meters = MeterGroup(length=int(
+            self.config.get_path("saver.print_freq", 10)))
+
+    # ---------------------------------------------------------------- model
+    def build_model(self):
+        mcfg = self.config.model
+        kwargs = dict(mcfg.get("kwargs") or {})
+        prec = self.config.get_path("precision.dtype", "bfloat16")
+        kwargs["dtype"] = prec
+        self.model = model_entry({"type": mcfg["type"], "kwargs": kwargs})
+        self.method = method_of(self.model)
+        self.logger.info(
+            f"model={mcfg['type']} method={self.method} dtype={prec} "
+            f"devices={jax.device_count()} hosts={self.world}"
+        )
+
+    # ----------------------------------------------------------------- data
+    def build_data(self):
+        dcfg = self.config.data
+        train_cfg = dict(dcfg.get("train") or {})
+        self.per_chip_batch = int(train_cfg.get("batch_size", 8))
+        # reference batch_size is per-rank(=per-GPU); per-host loader batch =
+        # per-chip x local chips, sharded over the mesh by the train step
+        local_chips = self.n_devices // self.world
+        self.host_batch = self.per_chip_batch * local_chips
+        self.global_batch = self.per_chip_batch * self.n_devices
+
+        aug = train_cfg.get("transforms", {}).get("type", "STANDARD_CLIP")
+        ds = ClipDataset(
+            root_dir=train_cfg.get("root_dir", ""),
+            meta_file=train_cfg.get("meta_file", "1024"),
+            transform=build_common_augmentation(aug),
+            read_from=train_cfg.get("read_from", "fs"),
+            fseek=train_cfg.get("fseek", False),
+        )
+        self.max_iter = compute_total_iter(
+            {**train_cfg,
+             **({"max_iter": self.config.get_path("lr_scheduler.kwargs.max_iter")}
+                if self.config.get_path("lr_scheduler.kwargs.max_iter") else {})},
+            len(ds), self.n_devices,
+        )
+        self.train_dataset = ds
+        self.train_cfg = train_cfg
+        self.test_cfgs: List[Dict] = list(dcfg.get("test") or [])
+        if isinstance(self.test_cfgs, dict):
+            self.test_cfgs = [self.test_cfgs]
+
+    def _train_loader(self, last_iter: int) -> ClipDataLoader:
+        mlm = getattr(self.model, "text_mask_type", None)
+        eda = bool(getattr(self.model, "EDA", False)) and self.method in (
+            "declip", "defilip")
+        sampler = DistributedGivenIterationSampler(
+            dataset_size=len(self.train_dataset),
+            total_iter=self.max_iter,
+            batch_size=self.host_batch,
+            world_size=self.world,
+            rank=self.rank,
+            last_iter=last_iter,
+        )
+        return ClipDataLoader(
+            self.train_dataset, sampler, self.host_batch,
+            eda=eda, text_mask_type=mlm,
+            num_workers=int(self.train_cfg.get("num_workers", 4)),
+        )
+
+    # ------------------------------------------------------------ optimizer
+    def build_optimizer(self):
+        ocfg = dict(self.config.get("optimizer") or
+                    {"type": "AdamW", "kwargs": {"lr": 1e-4}})
+        scfg = dict(self.config.get("lr_scheduler") or
+                    {"type": "Cosine",
+                     "kwargs": {"base_lr": 0.0, "warmup_lr": 1e-3,
+                                "warmup_steps": 0}})
+        self._sched_cfg = scfg
+        self._warmup_decay = 1.0
+        self.schedule = scheduler_entry(scfg, max_iter=self.max_iter)
+        self._opt_cfg = ocfg
+
+    def _make_tx(self, params):
+        frozen = None
+        vis = getattr(self.model, "visual", None)
+        frozen_paths = getattr(vis, "frozen_param_paths", lambda: ())()
+        if frozen_paths:
+            frozen = path_prefix_mask(params, tuple(frozen_paths))
+        return optim_entry(
+            self._opt_cfg, params, self.schedule,
+            pconfig=self._opt_cfg.get("pconfig") or {},
+            grad_clip=dict(self.config.get("grad_clip") or {}),
+            frozen_mask=frozen,
+        )
+
+    # ---------------------------------------------------------------- state
+    def _example_batch(self) -> Dict[str, jnp.ndarray]:
+        n = self.global_batch
+        views = {"clip": 1, "filip": 1, "slip": 3}.get(self.method, 2)
+        if self.method in ("declip", "defilip"):
+            views = 2
+        res = getattr(self.model.visual, "input_resolution", 224)
+        batch = {
+            "images": jnp.zeros((n, res, res, 3 * views), jnp.float32),
+            "tokens": jnp.ones((n, 77), jnp.int32),
+        }
+        if self.method in ("declip", "defilip"):
+            batch["tokens_aug"] = batch["tokens"]
+        if getattr(self.model, "text_mask_type", None) is not None:
+            batch["mlm_tokens"] = batch["tokens"]
+            batch["mlm_labels"] = jnp.full((n, 77), -100, jnp.int32)
+        return batch
+
+    def init_state(self):
+        example = self._example_batch()
+        with self.mesh:
+            variables = jax.jit(
+                lambda: self.model.init(jax.random.PRNGKey(0), example,
+                                        train=True)
+            )()
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        self.tx = self._make_tx(params)
+
+        ema_cfg = None
+        ema_params = None
+        if self.config.get_path("ema.enable", False):
+            kw = dict(self.config.get_path("ema.kwargs", {}) or {})
+            kw.pop("model", None)
+            ema_cfg = EmaConfig(
+                decay=float(kw.get("decay", 0.999)),
+                warmup=int(kw.get("warmup", 1)),
+                inner_T=int(kw.get("inner_T", 1)),
+                copy_init=bool(kw.get("copy_init", False)),
+            )
+            ema_params = init_ema(params, ema_cfg)
+        self.ema_cfg = ema_cfg
+
+        bank = None
+        if getattr(self.model, "return_nn_bank", False):
+            dim = self._feature_dim(params)
+            bank = init_bank(
+                jax.random.PRNGKey(1),
+                int(getattr(self.model, "nn_size", 2 ** 16)),
+                dim,
+            )
+
+        guard = dict(self.config.get("grad_clip") or {}).get(
+            "type") == "logit_scale_param_ema"
+        state = new_train_state(
+            params=params, batch_stats=batch_stats,
+            opt_state=self.tx.init(params), ema_params=ema_params,
+            bank_text=bank, with_logit_guard=guard,
+        )
+
+        # auto-resume (clip_solver.py:128-139)
+        self.start_step = 0
+        if self.config.get_path("saver.pretrain.auto_resume", True):
+            last = find_last_checkpoint(self.path.ckpt_path)
+            if last is not None:
+                state = restore_checkpoint(last, state)
+                self.start_step = int(state.step)
+                self.logger.info(
+                    f"auto-resumed from {last} at step {self.start_step}")
+        self.state = jax.device_put(state, self._replicated())
+
+    def _feature_dim(self, params) -> int:
+        # joint embedding dim = text projection output
+        return int(params["text"]["text_projection"]["kernel"].shape[-1])
+
+    def _replicated(self):
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        return NamedSharding(self.mesh, PartitionSpec())
+
+    # ----------------------------------------------------------------- step
+    def build_step(self):
+        step_fn = make_train_step(
+            self.model, self.tx, self.config, self.schedule,
+            method=self.method, ema_cfg=self.ema_cfg,
+            total_steps=self.max_iter,
+        )
+        self._train_step = jax.jit(step_fn, donate_argnums=(0,))
+
+    # ---------------------------------------------------------------- train
+    def train(self):
+        saver = self.config.get("saver") or {}
+        print_freq = int(saver.get("print_freq", 10))
+        val_freq = int(saver.get("val_freq", 0) or 0)
+        save_freq = int(saver.get("save_freq", 0) or 0)
+        save_many = bool(saver.get("save_many", True))
+
+        spike_window = AverageMeter(length=100)
+        loader = self._train_loader(self.start_step - 1)
+        it = iter(loader)
+        step = self.start_step
+        t_last = time.time()
+        while step < self.max_iter:
+            try:
+                batch = next(it)
+            except StopIteration:
+                break
+            data_time = time.time() - t_last
+            batch = self._shard(batch)
+            self.state, metrics = self._train_step(self.state, batch)
+            step = int(self.state.step)
+
+            if step % print_freq == 0 or step == self.max_iter:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                loss = metrics.get("loss", float("nan"))
+                # loss-spike / NaN rollback (declip_solver.py:548-619)
+                if self._spike(loss, spike_window) and self._rollback(step):
+                    loader = self._train_loader(int(self.state.step) - 1)
+                    it = iter(loader)
+                    step = int(self.state.step)
+                    t_last = time.time()
+                    continue
+                spike_window.update(loss)
+                batch_time = time.time() - t_last
+                self.meters.update(
+                    {**metrics, "batch_time": batch_time,
+                     "data_time": data_time}
+                )
+                for k, v in metrics.items():
+                    self.writer.add_scalar(k, v, step)
+                pairs_per_sec = (
+                    self.global_batch * print_freq / max(batch_time, 1e-9)
+                    if step > self.start_step + print_freq else 0.0
+                )
+                remain = (self.max_iter - step) * self.meters[
+                    "batch_time"].avg / max(print_freq, 1)
+                self.logger.info(
+                    f"Iter [{step}/{self.max_iter}] "
+                    f"loss {loss:.4f} ({self.meters['loss'].avg:.4f}) "
+                    f"lr {metrics.get('lr', 0):.2e} "
+                    f"top1 {metrics.get('top1', 0):.2f} "
+                    f"pairs/s {pairs_per_sec:.1f} "
+                    f"eta {remain / 3600:.2f}h"
+                )
+                self.writer.flush()
+                t_last = time.time()
+
+            if val_freq and step % val_freq == 0 and step > 0:
+                self.validate(step)
+            if save_freq and step % save_freq == 0 and self.rank == 0:
+                k_dir = (self.path.ckpt_k_times_path
+                         if step % (save_freq * 20) == 0 else None)
+                save_checkpoint(self.path.ckpt_path, self.state,
+                                save_many=save_many, k_times_dir=k_dir)
+                gc_checkpoints(self.path.ckpt_path, keep=10)
+
+        if self.rank == 0:
+            save_checkpoint(self.path.ckpt_path, self.state, save_many=True)
+        self.validate(step)
+        self.writer.close()
+
+    def _shard(self, batch):
+        arrays = {k: v for k, v in batch.items()
+                  if isinstance(v, np.ndarray)}
+        return shard_batch(self.mesh, arrays)
+
+    def _spike(self, loss: float, window: AverageMeter) -> bool:
+        if not np.isfinite(loss):
+            return True
+        thr = float(self.config.get_path("saver.spike_threshold", 10.0))
+        return window.count > 20 and loss > window.avg + thr
+
+    def _rollback(self, step: int) -> bool:
+        """Reload an old checkpoint, decay warmup lr, rebuild optimizer
+        (declip_solver.py:548-619). Returns True if a rollback happened."""
+        if not bool(self.config.get_path("saver.rollback", False)):
+            self.logger.warning(
+                f"loss spike/NaN at step {step} (rollback disabled)")
+            return False
+        ckpts = list_checkpoints(self.path.ckpt_path)
+        if not ckpts:
+            self.logger.warning("spike but no checkpoint to roll back to")
+            return False
+        target = ckpts[max(0, len(ckpts) - 3) - 1 if len(ckpts) >= 3 else 0]
+        self.logger.warning(
+            f"loss spike at {step}: rolling back to step {target[0]}, "
+            f"warmup_lr x= 0.997"
+        )
+        self._warmup_decay *= 0.997
+        scfg = dict(self._sched_cfg)
+        kwargs = dict(scfg.get("kwargs") or {})
+        kwargs["warmup_lr"] = float(kwargs.get("warmup_lr", 1e-3)) * \
+            self._warmup_decay
+        scfg["kwargs"] = kwargs
+        self.schedule = scheduler_entry(scfg, max_iter=self.max_iter)
+        template = jax.device_get(self.state)
+        state = restore_checkpoint(target[1], template)
+        self.tx = self._make_tx(state.params)
+        state = state.replace(opt_state=self.tx.init(state.params))
+        self.state = jax.device_put(state, self._replicated())
+        self.build_step()
+        return True
+
+    # ----------------------------------------------------------------- eval
+    def _eval_loader(self, tcfg: Dict):
+        aug = tcfg.get("transforms", {}).get("type", "ONECROP")
+        read_from = tcfg.get("read_from", "fs")
+        common = dict(
+            root_dir=tcfg.get("root_dir", ""),
+            meta_file=tcfg.get("meta_file", "256"),
+            transform=build_common_augmentation(aug),
+            read_from=read_from,
+            label_texts_ensemble=tcfg.get("label_texts_ensemble", "prompt80"),
+        )
+        if tcfg.get("type", "clip") == "imagenet" and read_from != "synthetic":
+            ds = ImageNetDataset(**common)
+        else:
+            ds = ClipDataset(**common)
+        return ds, int(tcfg.get("batch_size", self.host_batch))
+
+    def validate(self, step: int):
+        for i, tcfg in enumerate(self.test_cfgs):
+            metrics = self.evaluate(tcfg)
+            self.logger.info(
+                f"eval[{i}] @ {step}: " + json.dumps(dict(metrics)))
+            for k, v in metrics.items():
+                if isinstance(v, (int, float)):
+                    self.writer.add_scalar(f"eval{i}/{k}", v, step)
+            if self.state.ema_params is not None:
+                ema_metrics = self.evaluate(tcfg, use_ema=True)
+                self.logger.info(
+                    f"eval[{i}] EMA @ {step}: " + json.dumps(dict(ema_metrics)))
+                for k, v in ema_metrics.items():
+                    if isinstance(v, (int, float)):
+                        self.writer.add_scalar(f"eval{i}/ema_{k}", v, step)
+
+    def _encode_text_fn(self):
+        def fn(params, tokens):
+            return self.model.apply(
+                {"params": params}, tokens, method="encode_text")
+        return jax.jit(fn)
+
+    def _encode_image_fn(self, batch_stats):
+        def fn(params, images):
+            variables = {"params": params}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            return self.model.apply(
+                variables, images, train=False, method="encode_image")
+        return jax.jit(fn)
+
+    def class_embeddings(self, params, label_texts: List[str], n_class: int
+                         ) -> jnp.ndarray:
+        """Prompt-ensemble class embeddings (clip_solver.py:688-700)."""
+        tok = get_tokenizer()
+        prompts_num = len(label_texts) // n_class
+        encode = self._encode_text_fn()
+        out = []
+        for c in range(n_class):
+            texts = label_texts[c * prompts_num:(c + 1) * prompts_num]
+            ids = jnp.asarray(tok.tokenize(texts))
+            emb = encode(params, ids)
+            emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+            mean = emb.mean(axis=0)
+            out.append(mean / jnp.linalg.norm(mean))
+        return jnp.stack(out)
+
+    def evaluate(self, tcfg: Dict, *, use_ema: bool = False) -> Metric:
+        state = self.state
+        params = state.ema_params if use_ema else state.params
+        if use_ema and self.ema_cfg is not None and not self.ema_cfg.copy_init:
+            # zero-init EMA shadows are debiased only implicitly by long runs
+            pass
+        dataset, batch_size = self._eval_loader(tcfg)
+        label_texts, ensemble = dataset.get_label_texts()
+        n_class = ensemble.shape[0]
+        class_emb = self.class_embeddings(params, label_texts, n_class)
+
+        encode_image = self._encode_image_fn(state.batch_stats)
+        dense_eval = bool(tcfg.get("dense_eval", False)) and hasattr(
+            self.model, "encode_image_dense")
+        if dense_eval:
+            dense_class = self._dense_class_embeddings(
+                params, label_texts, n_class)
+            encode_image_dense = jax.jit(partial(
+                self.model.apply, method="encode_image_dense", train=False))
+
+        res_path = osp.join(
+            self.path.result_path, f"results.txt.rank{self.rank}")
+        all_scores, all_labels = [], []
+        n = len(dataset)
+        with open(res_path, "w") as writer:
+            # hosts split the val set by interleaved batches; results merge
+            # via the per-rank dumps (base_dataset.py:122-139)
+            for beg in range(self.rank * batch_size, n,
+                             batch_size * self.world):
+                idxs = range(beg, min(beg + batch_size, n))
+                items = [dataset[i] for i in idxs]
+                imgs = np.stack([it["image"] for it in items])
+                valid = imgs.shape[0]
+                if valid < batch_size:  # pad to the jitted shape
+                    pad = np.repeat(imgs[-1:], batch_size - valid, axis=0)
+                    imgs = np.concatenate([imgs, pad])
+                if dense_eval:
+                    variables = {"params": params}
+                    if state.batch_stats:
+                        variables["batch_stats"] = state.batch_stats
+                    d = encode_image_dense(variables, jnp.asarray(imgs))
+                    d = l2_normalize(d)
+                    logits = late_interaction_logits(
+                        d, dense_class, jnp.asarray(1.0))
+                else:
+                    emb = encode_image(params, jnp.asarray(imgs))
+                    emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+                    logits = jnp.einsum("nd,cd->nc", emb, class_emb,
+                                        preferred_element_type=jnp.float32)
+                scores = jax.nn.softmax(logits.astype(jnp.float32), -1) @ \
+                    jnp.asarray(ensemble)
+                scores = np.asarray(scores)[:valid]
+                preds = scores.argmax(-1)
+                for j, it in enumerate(items):
+                    writer.write(json.dumps({
+                        "image_id": it["image_id"],
+                        "filename": it["filename"],
+                        "label": it["label"],
+                        "label_name": it["label_name"],
+                        "caption": it["caption"],
+                        "tag": it["tag"],
+                        "prediction": int(preds[j]),
+                        "score": [round(float(s), 8) for s in scores[j]],
+                    }, ensure_ascii=False) + "\n")
+                all_scores.append(scores)
+                all_labels.append(np.asarray([it["label"] for it in items]))
+        evaluator = ImageNetEvaluator()
+        return evaluator.eval_arrays(
+            np.concatenate(all_scores), np.concatenate(all_labels))
+
+    def _dense_class_embeddings(self, params, label_texts, n_class):
+        """Token-wise class embeddings for FILIP dense zero-shot eval
+        (filip_solver.py:839-960): mean over prompts of dense token features."""
+        tok = get_tokenizer()
+        prompts_num = len(label_texts) // n_class
+        encode = jax.jit(partial(self.model.apply, method="encode_text_dense"))
+        out = []
+        for c in range(n_class):
+            ids = jnp.asarray(tok.tokenize(
+                label_texts[c * prompts_num:(c + 1) * prompts_num]))
+            d = encode({"params": params}, ids)  # [P, L, D]
+            d = l2_normalize(d)
+            out.append(d.mean(axis=0))
+        return l2_normalize(jnp.stack(out))  # [C, L, D]
+
+
+def main(argv: Optional[List[str]] = None):
+    parser = argparse.ArgumentParser(description="declip_tpu solver")
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--evaluate", action="store_true")
+    parser.add_argument("--set", nargs="*", default=[],
+                        help="dotted.key=value config overrides")
+    args = parser.parse_args(argv)
+
+    cfg = parse_config(args.config)
+    from declip_tpu.config import override
+    for kv in args.set:
+        key, _, value = kv.partition("=")
+        try:
+            value = json.loads(value)
+        except json.JSONDecodeError:
+            pass
+        cfg = override(cfg, key, value)
+        cfg["_config_path"] = osp.abspath(args.config)
+
+    solver = Solver(cfg)
+    if args.evaluate:
+        for tcfg in solver.test_cfgs:
+            metrics = solver.evaluate(tcfg)
+            solver.logger.critical(json.dumps(dict(metrics), indent=2))
+    else:
+        solver.train()
+
+
+if __name__ == "__main__":
+    main()

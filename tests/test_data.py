@@ -1,0 +1,134 @@
+import json
+import os
+
+import numpy as np
+import pytest
+
+from declip_tpu.data import (
+    ClipDataLoader,
+    ClipDataset,
+    DistributedGivenIterationSampler,
+    ImageNetEvaluator,
+    build_common_augmentation,
+    compute_total_iter,
+)
+from declip_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+
+@pytest.fixture(scope="module")
+def synth_dataset():
+    return ClipDataset(root_dir="", meta_file="64", read_from="synthetic",
+                       transform=build_common_augmentation("ONECROP"))
+
+
+def test_synthetic_dataset_items(synth_dataset):
+    item = synth_dataset[3]
+    assert item["image"].shape == (224, 224, 3)
+    assert item["caption"].startswith("a synthetic photo")
+    assert len(synth_dataset) == 64
+
+
+def test_jsonl_dataset_and_prompts(tmp_path):
+    meta = tmp_path / "meta.jsonl"
+    with open(meta, "w") as f:
+        for i in range(4):
+            f.write(json.dumps({"filename": f"x{i}.jpg", "caption": f"cap {i}",
+                                "label": i % 2,
+                                "label_name": ["cat", "dog"][i % 2]}) + "\n")
+    ds = ClipDataset(root_dir=str(tmp_path), meta_file=str(meta),
+                     label_texts_ensemble="prompt80")
+    texts, matrix = ds.get_label_texts()
+    assert len(texts) == 2 * 80  # 80 prompt templates x 2 classes
+    assert matrix.shape == (2, 2)
+    assert "cat" in texts[0]
+
+    # fseek mode reads identical metadata
+    ds2 = ClipDataset(root_dir=str(tmp_path), meta_file=str(meta), fseek=True)
+    assert len(ds2) == 4
+    assert ds2._meta(2)["caption"] == "cap 2"
+
+
+def test_bad_caption_resample(tmp_path):
+    meta = tmp_path / "meta.jsonl"
+    with open(meta, "w") as f:
+        f.write(json.dumps({"filename": "a.jpg", "caption": "一只猫"}) + "\n")
+        f.write(json.dumps({"filename": "b.jpg", "caption": "good cat"}) + "\n")
+    from declip_tpu.data.dataset import contains_chinese
+
+    assert contains_chinese("一只猫")
+    assert not contains_chinese("good cat")
+
+
+def test_sampler_determinism_and_resume():
+    s1 = DistributedGivenIterationSampler(
+        dataset_size=100, total_iter=10, batch_size=4, world_size=2, rank=0)
+    s2 = DistributedGivenIterationSampler(
+        dataset_size=100, total_iter=10, batch_size=4, world_size=2, rank=0)
+    assert np.array_equal(s1.indices, s2.indices)
+    # resume at iter 3 skips exactly 3 batches
+    s3 = DistributedGivenIterationSampler(
+        dataset_size=100, total_iter=10, batch_size=4, world_size=2, rank=0,
+        last_iter=2)
+    assert list(s3)[:4] == s1.indices[12:16].tolist()
+    # ranks partition the stream
+    r1 = DistributedGivenIterationSampler(
+        dataset_size=100, total_iter=10, batch_size=4, world_size=2, rank=1)
+    assert not np.array_equal(s1.indices, r1.indices)
+
+
+def test_compute_total_iter():
+    assert compute_total_iter({"max_iter": 5}, 100, 4) == 5
+    assert compute_total_iter({"max_epoch": 2, "batch_size": 5}, 100, 4) == 10
+
+
+def test_dataloader_batches(synth_dataset):
+    sampler = DistributedGivenIterationSampler(
+        dataset_size=64, total_iter=3, batch_size=8)
+    loader = ClipDataLoader(
+        synth_dataset, sampler, 8, eda=True, text_mask_type="MLM",
+        num_workers=2,
+    )
+    batches = list(loader)
+    assert len(batches) == 3
+    b = batches[0]
+    assert b["images"].shape == (8, 224, 224, 3)
+    assert b["tokens"].shape == (8, 77)
+    assert b["tokens_aug"].shape == (8, 77)
+    assert b["mlm_tokens"].shape == (8, 77)
+    assert (b["mlm_labels"] != -100).sum() > 0
+    # determinism: rebuilding the loader gives identical batches
+    loader2 = ClipDataLoader(
+        synth_dataset,
+        DistributedGivenIterationSampler(dataset_size=64, total_iter=3,
+                                         batch_size=8),
+        8, eda=True, text_mask_type="MLM", num_workers=2,
+    )
+    b2 = next(iter(loader2))
+    np.testing.assert_array_equal(b["tokens"], b2["tokens"])
+    np.testing.assert_array_equal(b["mlm_tokens"], b2["mlm_tokens"])
+    np.testing.assert_array_equal(b["tokens_aug"], b2["tokens_aug"])
+
+
+def test_multiview_transforms():
+    from PIL import Image
+
+    img = Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (300, 400, 3), np.uint8))
+    two = build_common_augmentation("MOCOV2")(img)
+    assert two.shape == (224, 224, 6)
+    slip = build_common_augmentation("SLIP")(img)
+    assert slip.shape == (224, 224, 9)
+    one = build_common_augmentation("ONECROP")(img)
+    assert one.shape == (224, 224, 3)
+    # normalization applied
+    raw = np.asarray(img.resize((224, 224)), np.float32) / 255
+    assert abs(one.mean()) < abs(((raw - 0.45) / 0.25).mean()) + 3
+
+
+def test_evaluator():
+    ev = ImageNetEvaluator()
+    scores = np.asarray([[0.9, 0.1, 0], [0.1, 0.8, 0.1], [0.3, 0.3, 0.4]])
+    labels = np.asarray([0, 1, 0])
+    m = ev.eval_arrays(scores, labels)
+    assert m["top1"] == pytest.approx(100 * 2 / 3)
+    assert m["n"] == 3
