@@ -123,8 +123,29 @@ class Solver:
         )
 
     # ----------------------------------------------------------------- data
+    @staticmethod
+    def normalize_data_config(dcfg: Dict) -> Dict:
+        """Accept both the reference layout (batch_size/read_from at the
+        data level, test entries nesting a second ``test`` dict —
+        yfcc15m_r50_declip/config.yaml:81-131) and the flat layout."""
+        dcfg = dict(dcfg or {})
+        train = dict(dcfg.get("train") or {})
+        for key in ("batch_size", "num_workers", "read_from", "input_size"):
+            if key in dcfg and key not in train:
+                train[key] = dcfg[key]
+        tests = dcfg.get("test") or []
+        if isinstance(tests, dict):
+            tests = [tests]
+        norm_tests = []
+        for entry in tests:
+            entry = dict(entry)
+            inner = dict(entry.pop("test", {}) or {})
+            merged = {**entry, **inner}
+            norm_tests.append(merged)
+        return {"train": train, "test": norm_tests}
+
     def build_data(self):
-        dcfg = self.config.data
+        dcfg = self.normalize_data_config(self.config.get("data") or {})
         train_cfg = dict(dcfg.get("train") or {})
         self.per_chip_batch = int(train_cfg.get("batch_size", 8))
         # reference batch_size is per-rank(=per-GPU); per-host loader batch =
