@@ -81,6 +81,7 @@ class ClipDataset:
         self.transform = transform
         self.label_texts_ensemble = label_texts_ensemble
         self.evaluator = evaluator
+        self.image_reader_type = image_reader_type
         self._rng = random.Random(seed)
 
         self.roots: List[str] = []
@@ -137,7 +138,18 @@ class ClipDataset:
         if self.read_from == "synthetic":
             return _synthetic_image(idx, meta.get("label"))
         path = osp.join(self.roots[idx], meta["filename"])
-        return pil_loader(self._read_bytes(path))
+        data = self._read_bytes(path)
+        if self.image_reader_type == "native":
+            # C++ libjpeg decode (native/fastload.cc); PIL fallback for
+            # non-JPEG bytes
+            try:
+                from declip_tpu.data import native
+
+                if native.available():
+                    return Image.fromarray(native.decode_jpeg(data), "RGB")
+            except Exception:
+                pass
+        return pil_loader(data)
 
     def __getitem__(self, idx: int) -> Dict[str, Any]:
         """Returns {'image': HWC float32 (or PIL if no transform),

@@ -10,9 +10,9 @@ Deliberate deltas from the reference:
   token ids ([B, 77]), never strings (fixes text_transformer.py:185-188's
   per-step CPU tokenization).
 - EOT pooling selects the FIRST position equal to ``eot_id`` instead of
-  ``argmax(token_ids)`` (text_transformer.py:203). The reference's argmax
-  breaks when an ``<|mask|>`` token (id 49408 > eot 49407) is present in MLM
-  batches; first-eot is identical on unmasked text and correct under MLM.
+  ``argmax(token_ids)`` (text_transformer.py:203). Equivalent on the
+  reference vocab (eot is the highest id there), but robust to any vocab
+  ordering.
 
 HuggingFace branches (Bert/Roberta/GPT2, text_transformer.py:46-107) are
 provided separately in hf_text.py (optional, gated on local weights).
@@ -40,7 +40,7 @@ class TextTransformer(nn.Module):
     transformer_layers: int = 12
     positional_embedding_flag: bool = True
     checkpoint: bool = False
-    eot_id: Optional[int] = None  # default: vocab_size - 2 (<|endoftext|>)
+    eot_id: Optional[int] = None  # default: vocab_size - 1 (<|endoftext|>)
     dtype: Dtype = jnp.float32
     attn_impl: str = "xla"
 
@@ -51,7 +51,7 @@ class TextTransformer(nn.Module):
         return_dense additionally returns the ln_final token features
         [B, L, W] (feeds the MLM head and FILIP's text_mapping).
         """
-        eot = self.eot_id if self.eot_id is not None else self.vocab_size - 2
+        eot = self.eot_id if self.eot_id is not None else self.vocab_size - 1
         emb = nn.Embed(
             self.vocab_size,
             self.transformer_width,

@@ -1,0 +1,177 @@
+"""Pallas fused attention for TPU.
+
+Replaces the cuDNN MHA the reference leans on (base_transformer.py:33).
+Workload note: every sequence in this framework is short (77 text tokens,
+50/197 image patches), so classic flash *tiling* over keys is unnecessary —
+the whole [L, L] score matrix for one (batch, head) fits comfortably in VMEM
+(197x197 fp32 = 155KB). The win over XLA is fusing QK^T -> softmax -> PV in
+VMEM so the [B, H, L, L] probability tensor never round-trips HBM.
+
+Kernel: grid over (batch*heads); per program, one fused
+load(q,k,v) -> scores(fp32) -> masked softmax -> out matmul. Sequence is
+padded to the sublane multiple; padded KEY positions are masked to -inf
+(padded query rows produce garbage that the caller slices off). Backward is
+the standard recompute-probs flash backward, also one fused kernel.
+
+Falls back to the XLA path off-TPU (ops/attention.py handles dispatch).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pltpu only exists on TPU-enabled builds
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except ImportError:  # pragma: no cover
+    pltpu = None
+    _HAS_PLTPU = False
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, causal, valid_len):
+    q = q_ref[0].astype(jnp.float32)  # [L, Dh]
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [L, L]
+    L = s.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    mask = col < valid_len
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+        mask = mask & (col <= row)
+    s = jnp.where(mask, s, -1e30)
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
+                scale, causal, valid_len):
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    L = s.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    mask = col < valid_len
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+        mask = mask & (col <= row)
+    s = jnp.where(mask, s, -1e30)
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    p = e / denom
+
+    dv = jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [L, Dh]
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [L, L]
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    ds = jnp.where(mask, ds, 0.0) * scale
+    dq = jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dk = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _specs(n: int, L: int, dh: int):
+    return pl.BlockSpec(
+        (1, L, dh), lambda i: (i, 0, 0),
+        memory_space=pltpu.VMEM if _HAS_PLTPU else None,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash(q, k, v, causal: bool, scale: float, interpret: bool,
+           valid_len: int):
+    return _flash_fwd(q, k, v, causal, scale, interpret, valid_len)[0]
+
+
+def _flash_fwd(q, k, v, causal, scale, interpret, valid_len):
+    # q,k,v: [BH, Lpad, Dh]
+    bh, L, dh = q.shape
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, causal=causal,
+                          valid_len=valid_len),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid=(bh,),
+        in_specs=[_specs(bh, L, dh)] * 3,
+        out_specs=_specs(bh, L, dh),
+        interpret=interpret,
+    )(q, k, v)
+    return out, (q, k, v)
+
+
+def _flash_bwd(causal, scale, interpret, valid_len, res, g):
+    q, k, v = res
+    bh, L, dh = q.shape
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale, causal=causal,
+                          valid_len=valid_len),
+        out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype)] * 3,
+        grid=(bh,),
+        in_specs=[_specs(bh, L, dh)] * 4,
+        out_specs=[_specs(bh, L, dh)] * 3,
+        interpret=interpret,
+    )(q, k, v, g)
+    return dq, dk, dv
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """[B, H, L, Dh] fused attention. Pads L to the TPU sublane multiple."""
+    b, h, L, dh = q.shape
+    if scale is None:
+        scale = dh ** -0.5
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    sub = 16 if q.dtype == jnp.bfloat16 else 8
+    Lp = _round_up(L, sub)
+    dp = _round_up(dh, 128)
+
+    def prep(x):
+        x = x.reshape(b * h, L, dh)
+        return jnp.pad(x, ((0, 0), (0, Lp - L), (0, dp - dh)))
+
+    out = _flash(prep(q), prep(k), prep(v), causal, scale, interpret, L)
+    return out[:, :L, :dh].reshape(b, h, L, dh)

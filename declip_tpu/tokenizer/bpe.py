@@ -12,7 +12,7 @@ The merges file (``bpe_simple_vocab_16e6.txt.gz``) is *data* the user supplies
 at a file that must exist at runtime). When no merges file is found we build a
 merge-free byte-level vocab (every word becomes character tokens); this keeps
 the whole framework hermetically testable. Token *ids* then differ from CLIP's
-but every structural property (sot/eot/mask ids at the end of the vocab,
+but every structural property (mask/sot/eot as the last three ids,
 padding, truncation, MLM) is identical.
 
 TPU note: tokenization is host-side and happens in the data pipeline, never
@@ -96,11 +96,10 @@ def default_merges_path() -> Optional[str]:
 class BpeTokenizer:
     """CLIP byte-level BPE with ``<|mask|>``.
 
-    Special tokens occupy the last three ids: sot = V-3+? — concretely the
-    vocab is [256 byte chars] + [256 byte chars + '</w>'] + [one token per
-    merge] + ['<|startoftext|>', '<|endoftext|>', '<|mask|>'] so with the full
-    CLIP merge table vocab_size == 49409, matching the reference
-    (simple_tokenizer.py:69-73).
+    The vocab is [256 byte chars] + [256 byte chars + '</w>'] + [one token
+    per merge] + ['<|mask|>', '<|startoftext|>', '<|endoftext|>'], so with the
+    full CLIP merge table vocab_size == 49409 and <|endoftext|> is the highest
+    id, matching the reference exactly (simple_tokenizer.py:69-74).
     """
 
     def __init__(self, merges_path: Optional[str] = None):
@@ -123,7 +122,9 @@ class BpeTokenizer:
         alphabet = list(self.byte_encoder.values())
         vocab = alphabet + [c + "</w>" for c in alphabet]
         vocab += ["".join(m) for m in merges]
-        vocab += ["<|startoftext|>", "<|endoftext|>", "<|mask|>"]
+        # reference order (simple_tokenizer.py:71-80): mask BEFORE sot/eot,
+        # so <|endoftext|> is the highest id in the vocab
+        vocab += ["<|mask|>", "<|startoftext|>", "<|endoftext|>"]
 
         self.encoder = {tok: i for i, tok in enumerate(vocab)}
         self.decoder = {i: tok for tok, i in self.encoder.items()}

@@ -24,7 +24,7 @@ def synth_dataset():
 def test_synthetic_dataset_items(synth_dataset):
     item = synth_dataset[3]
     assert item["image"].shape == (224, 224, 3)
-    assert item["caption"].startswith("a synthetic photo")
+    assert item["caption"].startswith("a photo of pattern")
     assert len(synth_dataset) == 64
 
 

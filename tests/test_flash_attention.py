@@ -1,0 +1,56 @@
+"""Pallas fused attention vs the XLA reference path (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from declip_tpu.ops.attention import _xla_attention
+from declip_tpu.ops.flash_attention import flash_attention
+
+
+def _qkv(rng, b=2, h=2, l=7, dh=16):
+    def mk():
+        return jnp.asarray(rng.normal(size=(b, h, l, dh)), jnp.float32)
+
+    return mk(), mk(), mk()
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("l", [7, 16, 77])
+def test_forward_matches_xla(rng, causal, l):
+    q, k, v = _qkv(rng, l=l)
+    ref = _xla_attention(q, k, v, causal=causal, scale=q.shape[-1] ** -0.5)
+    out = flash_attention(q, k, v, causal=causal, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
+                               atol=2e-6)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_gradients_match_xla(rng, causal):
+    q, k, v = _qkv(rng, l=10)
+
+    def loss_flash(q, k, v):
+        return (flash_attention(q, k, v, causal=causal, interpret=True) ** 2
+                ).sum()
+
+    def loss_ref(q, k, v):
+        return (_xla_attention(q, k, v, causal=causal,
+                               scale=q.shape[-1] ** -0.5) ** 2).sum()
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-5)
+
+
+def test_attention_dispatch_pallas_fallback(rng):
+    """impl='pallas' must work (interpret on CPU) through the dispatch."""
+    from declip_tpu.ops.attention import dot_product_attention
+
+    q, k, v = _qkv(rng, l=9)
+    out = dot_product_attention(q, k, v, causal=True, impl="pallas")
+    ref = dot_product_attention(q, k, v, causal=True, impl="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
+                               atol=2e-6)

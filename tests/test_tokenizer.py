@@ -10,10 +10,11 @@ def tok():
 
 
 def test_vocab_structure(tok):
-    # specials are the last three ids, in order (simple_tokenizer.py:69-73)
-    assert tok.mask_id == tok.vocab_size - 1
-    assert tok.eot_id == tok.vocab_size - 2
-    assert tok.sot_id == tok.vocab_size - 3
+    # specials are the last three ids: mask, sot, eot
+    # (simple_tokenizer.py:69-74 — eot is the highest id)
+    assert tok.mask_id == tok.vocab_size - 3
+    assert tok.sot_id == tok.vocab_size - 2
+    assert tok.eot_id == tok.vocab_size - 1
 
 
 def test_roundtrip(tok):
