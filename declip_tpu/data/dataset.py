@@ -130,7 +130,16 @@ class ClipDataset:
                 return json.loads(f.readline())
         return self.metas[idx]
 
+    _fake_bytes: Optional[bytes] = None
+
     def _read_bytes(self, filename: str) -> bytes:
+        if self.read_from == "fake":
+            # single cached file served for every sample
+            # (base_dataset.py:81-86) — data-pipeline throughput testing
+            if self._fake_bytes is None:
+                with open(filename, "rb") as f:
+                    type(self)._fake_bytes = f.read()
+            return self._fake_bytes
         with open(filename, "rb") as f:
             return f.read()
 
@@ -275,3 +284,48 @@ class ImageNetDataset(ClipDataset):
 @DATASETS.register(name="imagenet")
 def build_imagenet_dataset(**kwargs) -> ImageNetDataset:
     return ImageNetDataset(**kwargs)
+
+
+class ClipDatasetRanked(ClipDataset):
+    """Rank-pre-sharded variant (clip_dataset.py:314-464): a seeded hash
+    assigns each metadata line to one rank at load time, every rank pads to
+    the global max count by resampling its own lines. Avoids each worker
+    scanning the full metafile on huge datasets.
+
+    Delta: the reference uses ``random.randint`` under a fixed seed plus an
+    allgather for padding (clip_dataset.py:404-422); here assignment is a
+    deterministic stable hash of the line index so no collective is needed
+    (every rank can compute every rank's count).
+    """
+
+    def __init__(self, *args, world_size: int = 1, rank: int = 0, **kwargs):
+        self.world_size = world_size
+        self.rank = rank
+        super().__init__(*args, **kwargs)
+        if world_size <= 1:
+            return
+        owner = [(i * 2654435761) % world_size for i in range(self.num)]
+        mine = [i for i in range(self.num) if owner[i] == rank]
+        counts = [sum(1 for o in owner if o == r) for r in range(world_size)]
+        target = max(counts)
+        rng = random.Random(1234 + rank)
+        while len(mine) < target and mine:
+            mine.append(rng.choice(mine))
+        self._local_indices = mine
+        self.num = len(mine)
+
+    def _global_index(self, idx: int) -> int:
+        if self.world_size <= 1:
+            return idx
+        return self._local_indices[idx]
+
+    def _meta(self, idx: int):
+        return super()._meta(self._global_index(idx))
+
+    def _load_image(self, idx: int, meta):
+        return super()._load_image(self._global_index(idx), meta)
+
+
+@DATASETS.register(name="clip_ranked")
+def build_clip_ranked(**kwargs) -> ClipDatasetRanked:
+    return ClipDatasetRanked(**kwargs)

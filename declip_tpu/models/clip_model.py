@@ -99,7 +99,8 @@ def build_towers(kwargs: dict, image_factory, *, default_text_width: int = 512):
         dtype = jnp.dtype(dtype)
     image_kwargs.setdefault("dtype", dtype)
     text_kwargs.setdefault("dtype", dtype)
-    if "vocab_size" not in text_kwargs:
+    encode_type = text_kwargs.get("text_encode_type") or "Transformer"
+    if "vocab_size" not in text_kwargs and encode_type == "Transformer":
         bpe_path = text_kwargs.get("bpe_path")
         if bpe_path is not None and not os.path.exists(bpe_path):
             bpe_path = None  # reference configs carry cluster-relative paths

@@ -1,0 +1,81 @@
+"""HuggingFace text-encoder backends (Bert / Bert_large / Roberta / GPT2).
+
+Rebuilds the non-'Transformer' branches of prototype/model/text_encoder/
+text_transformer.py:46-107, which load pretrained HF models from local
+cluster paths. Here the Flax-native HF models are used so the tower still
+jits into the same train step. Weights must exist locally (zero-egress
+environments cannot download); pass ``pretrained_path``.
+
+Pooling matches the reference: CLS token for Bert/Roberta, mean over tokens
+for GPT2 (text_transformer.py:255-262), followed by a linear projection to
+the joint embedding dim.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+_HF_WIDTHS = {
+    "Bert": 768,
+    "Bert_large": 1024,
+    "Roberta": 768,
+    "Roberta_large": 1024,
+    "GPT2": 768,
+}
+
+
+class HFTextEncoder(nn.Module):
+    """Wraps a Flax HF model + projection; consumes token ids produced by the
+    matching HF tokenizer in the data pipeline."""
+
+    text_encode_type: str
+    pretrained_path: str
+    embed_dim: int = 1024
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        if not os.path.isdir(self.pretrained_path):
+            raise FileNotFoundError(
+                f"HF weights not found at {self.pretrained_path!r} — the "
+                f"'{self.text_encode_type}' text tower needs local "
+                "pretrained files (zero-egress environments cannot download)."
+            )
+        from transformers import FlaxAutoModel
+
+        self.backbone = FlaxAutoModel.from_pretrained(
+            self.pretrained_path, dtype=self.dtype
+        ).module
+        self.text_projection = nn.Dense(self.embed_dim, dtype=self.dtype)
+        width = _HF_WIDTHS.get(self.text_encode_type, 768)
+        self.vocab_size = width  # overwritten by factory with tokenizer size
+
+    def __call__(self, tokens: jax.Array, *, return_dense: bool = False):
+        attn = (tokens != 0).astype(jnp.int32)
+        out = self.backbone(input_ids=tokens, attention_mask=attn)
+        words = out.last_hidden_state
+        if self.text_encode_type.startswith(("Bert", "Roberta")):
+            pooled = words[:, 0, :]
+        else:  # GPT2: mean pooling (text_transformer.py:261-262)
+            denom = jnp.maximum(attn.sum(-1, keepdims=True), 1)
+            pooled = (words * attn[..., None]).sum(1) / denom
+        pooled = self.text_projection(pooled)
+        if return_dense:
+            return pooled, words
+        return pooled
+
+
+def build_hf_text(text_encode_type: str, embed_dim: int,
+                  pretrained_path: Optional[str] = None,
+                  dtype: Any = jnp.float32) -> HFTextEncoder:
+    path = pretrained_path or os.environ.get("DECLIP_HF_TEXT_PATH", "")
+    return HFTextEncoder(
+        text_encode_type=text_encode_type,
+        pretrained_path=path,
+        embed_dim=embed_dim,
+        dtype=dtype,
+    )

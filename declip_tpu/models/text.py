@@ -98,8 +98,25 @@ class TextTransformer(nn.Module):
         return pooled
 
 
-def text_transformers(**kwargs) -> TextTransformer:
-    """Factory matching the reference defaults (text_transformer.py:273-288)."""
+def text_transformers(**kwargs):
+    """Factory matching the reference defaults (text_transformer.py:273-288).
+
+    Dispatches on ``text_encode_type``: 'Transformer' (default) builds the
+    CLIP tower; Bert/Roberta/GPT2 variants build the gated HF backend
+    (declip_tpu.models.hf_text, needs local weights)."""
+    kwargs = dict(kwargs)
+    encode_type = kwargs.pop("text_encode_type", None) or "Transformer"
+    kwargs.pop("bpe_path", None)
+    utils = kwargs.pop("text_model_utils", None) or {}
+    if encode_type != "Transformer":
+        from declip_tpu.models.hf_text import build_hf_text
+
+        return build_hf_text(
+            encode_type,
+            embed_dim=kwargs.get("embed_dim", 1024),
+            pretrained_path=utils.get("pretrained_path"),
+            dtype=kwargs.get("dtype", jnp.float32),
+        )
     defaults = dict(
         context_length=77,
         transformer_width=512,
@@ -108,11 +125,5 @@ def text_transformers(**kwargs) -> TextTransformer:
         positional_embedding_flag=True,
         checkpoint=False,
     )
-    # reference configs pass text_encode_type/bpe_path/text_model_utils; the
-    # JAX tower only implements the 'Transformer' type here.
-    kwargs = dict(kwargs)
-    kwargs.pop("text_encode_type", None)
-    kwargs.pop("bpe_path", None)
-    kwargs.pop("text_model_utils", None)
     defaults.update(kwargs)
     return TextTransformer(**defaults)

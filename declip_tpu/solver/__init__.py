@@ -315,6 +315,11 @@ class Solver:
         save_freq = int(saver.get("save_freq", 0) or 0)
         save_many = bool(saver.get("save_many", True))
 
+        prof = dict(self.config.get("profile") or {})
+        prof_start = int(prof.get("start_step", 10))
+        prof_steps = int(prof.get("num_steps", 5))
+        prof_on = bool(prof.get("enable", False)) and self.rank == 0
+
         spike_window = AverageMeter(length=100)
         loader = self._train_loader(self.start_step - 1)
         it = iter(loader)
@@ -327,8 +332,19 @@ class Solver:
                 break
             data_time = time.time() - t_last
             batch = self._shard(batch)
+            if prof_on and step == prof_start:
+                # jax.profiler trace (SURVEY.md §5.1's TPU equivalent of the
+                # reference's manual timing meters)
+                jax.profiler.start_trace(
+                    osp.join(self.path.event_path, "profile"))
             self.state, metrics = self._train_step(self.state, batch)
             step = int(self.state.step)
+            if prof_on and step == prof_start + prof_steps:
+                jax.tree.map(lambda x: x.block_until_ready(), metrics)
+                jax.profiler.stop_trace()
+                self.logger.info(
+                    f"profile trace written to {self.path.event_path}/profile")
+                prof_on = False
 
             if step % print_freq == 0 or step == self.max_iter:
                 metrics = {k: float(v) for k, v in metrics.items()}

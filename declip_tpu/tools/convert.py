@@ -1,0 +1,148 @@
+"""Checkpoint conversion tool (reference <-> declip_tpu).
+
+Replaces prototype/tools/convert.py's role as the deployment/interop exit
+point (its Caffe/Kestrel/NNIE targets are SenseTime-internal; the portable
+interop format is the reference's own .pth.tar, SURVEY.md §2.9).
+
+    # import a reference checkpoint into a declip_tpu experiment
+    python -m declip_tpu.tools.convert --from_pth ckpt.pth.tar \
+        --config <exp>/config.yaml --out <exp>/checkpoints/ckpt.msgpack
+
+    # export our checkpoint to a torch-loadable .pth.tar
+    python -m declip_tpu.tools.convert --to_pth <exp>/checkpoints/ckpt.msgpack \
+        --config <exp>/config.yaml --out ckpt.pth.tar
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import numpy as np
+
+
+def variables_to_torch_state(variables) -> dict:
+    """Inverse of convert_pth.torch_state_to_variables: flatten our tree into
+    reference-named torch tensors (scan-stacked layers unstacked)."""
+    import re
+
+    import torch
+
+    out = {}
+
+    def emit(key: str, arr: np.ndarray):
+        out[key] = torch.tensor(np.asarray(arr))
+
+    def walk(tree, prefix, collection):
+        for name, sub in tree.items():
+            path = f"{prefix}.{name}" if prefix else name
+            if isinstance(sub, dict):
+                walk(sub, path, collection)
+                continue
+            arr = np.asarray(sub)
+            key = path
+            key = key.replace("text.", "encode_text.", 1) if key.startswith(
+                "text.") else key
+            key = re.sub(r"\blayer(\d)_(\d+)\b", r"layer\1.\2", key)
+            key = key.replace(".downsample_conv.", ".downsample.0.")
+            key = key.replace(".downsample_bn.", ".downsample.1.")
+            key = key.replace(".LayerNorm_0.scale", ".weight")
+            key = key.replace(".LayerNorm_0.bias", ".bias")
+            if collection == "batch_stats":
+                key = key.replace(".BatchNorm_0.mean", ".running_mean")
+                key = key.replace(".BatchNorm_0.var", ".running_var")
+            else:
+                key = key.replace(".BatchNorm_0.scale", ".weight")
+                key = key.replace(".BatchNorm_0.bias", ".bias")
+            key = key.replace(".token_embedding.embedding",
+                              ".token_embedding.weight")
+
+            if ".patch_embed.kernel" in key:
+                # dense [p*p*3, W] -> conv [W, 3, p, p]
+                w = arr
+                p = int(round((w.shape[0] / 3) ** 0.5))
+                conv = w.reshape(p, p, 3, w.shape[1]).transpose(3, 2, 0, 1)
+                emit(key.replace(".patch_embed.kernel", ".conv1.weight"), conv)
+                continue
+
+            if "transformer.layers." in key:
+                # stacked [L, ...]: unstack into resblocks.{i}
+                m = re.search(r"transformer\.layers\.(.*)$", key)
+                tail = m.group(1)
+                base = key[: m.start()] + "transformer.resblocks"
+                for i in range(arr.shape[0]):
+                    a = arr[i]
+                    k = f"{base}.{i}.{tail}"
+                    k = k.replace(".qkv.kernel", ".attn.in_proj_weight")
+                    k = k.replace(".qkv.bias", ".attn.in_proj_bias")
+                    k = k.replace(".out.kernel", ".attn.out_proj.weight")
+                    k = k.replace(".out.bias", ".attn.out_proj.bias")
+                    if k.endswith("kernel"):
+                        emit(k.replace(".kernel", ".weight"),
+                             a.T if a.ndim == 2 else a)
+                    elif ".in_proj_weight" in k or ".out_proj.weight" in k:
+                        emit(k, a.T)
+                    else:
+                        emit(k, a)
+                continue
+
+            if key.endswith(".kernel"):
+                base = key[: -len(".kernel")]
+                if arr.ndim == 4:  # conv HWIO -> OIHW
+                    emit(base + ".weight", arr.transpose(3, 2, 0, 1))
+                else:
+                    emit(base + ".weight", arr.T)
+            else:
+                emit(key, arr)
+
+    walk(variables.get("params", {}), "", "params")
+    walk(variables.get("batch_stats", {}), "", "batch_stats")
+    return out
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--from_pth")
+    ap.add_argument("--to_pth")
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--out", required=True)
+    args = ap.parse_args(argv)
+
+    from declip_tpu.config import parse_config
+    from declip_tpu.models import model_entry
+
+    cfg = parse_config(args.config)
+    model = model_entry(
+        {"type": cfg.model.type, "kwargs": dict(cfg.model.kwargs)})
+
+    if args.from_pth:
+        import flax.serialization as ser
+
+        from declip_tpu.convert_pth import load_pth
+
+        variables = load_pth(args.from_pth)
+        with open(args.out, "wb") as f:
+            f.write(ser.to_bytes(variables))
+        print(f"converted {args.from_pth} -> {args.out}")
+    elif args.to_pth:
+        import torch
+        from flax import serialization as ser
+
+        with open(args.to_pth, "rb") as f:
+            blob = f.read()
+        state = ser.msgpack_restore(blob)
+        variables = {
+            "params": state.get("params", state),
+            "batch_stats": state.get("batch_stats", {}),
+        }
+        torch_state = variables_to_torch_state(variables)
+        torch.save({"model": torch_state,
+                    "last_iter": int(np.asarray(state.get("step", 0)))},
+                   args.out)
+        print(f"converted {args.to_pth} -> {args.out}")
+    else:
+        ap.error("one of --from_pth / --to_pth is required")
+
+
+if __name__ == "__main__":
+    main()
