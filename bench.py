@@ -1,15 +1,20 @@
 """Throughput benchmark — runs on the real TPU chip.
 
-Headline metric (BASELINE.json): image-text pairs/sec/chip for CLIP ViT-B/32
+Default (driver) metric: image-text pairs/sec/chip for CLIP ViT-B/32
 training (full fwd+bwd+optimizer step, bf16 compute / fp32 params, global
 InfoNCE). ``vs_baseline`` normalizes against an A100 open_clip-class
 reference throughput for the same model/recipe (~1000 pairs/sec/GPU at
 batch 128 fp16 — the reference publishes no throughput numbers, SURVEY.md §6,
 so this is the standard public A100 number for CLIP ViT-B/32 training).
 
-Prints exactly one JSON line.
+Variants: ``python bench.py --model declip_res50`` benches the DeCLIP-R50
+full recipe (two views + MLM + EDA text + SimSiam + NN bank) — the
+BASELINE.json north-star config.
+
+Prints exactly one JSON line (the headline metric) on stdout.
 """
 
+import argparse
 import json
 import time
 
@@ -17,36 +22,78 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-A100_BASELINE_PAIRS_PER_SEC = 1000.0
+# public A100 throughput anchors (pairs/sec/GPU)
+A100_BASELINE = {
+    "clip_vitb32": 1000.0,
+    "declip_res50": 300.0,  # DeCLIP R50: 2 image views + 2 text towers + heads
+}
 
-PER_CHIP_BATCH = 128
 WARMUP_STEPS = 3
 BENCH_STEPS = 20
 
 
-def main():
+def build(model_name: str, per_chip_batch: int, remat: bool):
+    from declip_tpu.config import parse_config
     from declip_tpu.models import model_entry
+    from declip_tpu.models.memory_bank import init_bank
     from declip_tpu.optim import optim_entry, scheduler_entry
     from declip_tpu.train import make_train_step, new_train_state
 
     n_chips = jax.device_count()
-    b = PER_CHIP_BATCH * n_chips
-
-    model = model_entry({
-        "type": "clip_vitb32",
-        "kwargs": {
-            "image_encode": {"embed_dim": 512, "input_resolution": 224},
-            "text_encode": {"embed_dim": 512},
-            "clip": {"use_allgather": True},
-            "dtype": "bfloat16",
-        },
-    })
+    b = per_chip_batch * n_chips
     rng = np.random.default_rng(0)
-    batch = {
-        "images": jnp.asarray(
-            rng.normal(size=(b, 224, 224, 3)).astype(np.float32)),
-        "tokens": jnp.asarray(rng.integers(1, 40000, (b, 77)), jnp.int32),
-    }
+
+    if model_name == "clip_vitb32":
+        model = model_entry({
+            "type": "clip_vitb32",
+            "kwargs": {
+                "image_encode": {"embed_dim": 512, "input_resolution": 224,
+                                 "checkpoint": remat},
+                "text_encode": {"embed_dim": 512, "checkpoint": remat},
+                "clip": {"use_allgather": True},
+                "dtype": "bfloat16",
+            },
+        })
+        batch = {
+            "images": jnp.asarray(
+                rng.normal(size=(b, 224, 224, 3)).astype(np.float32)),
+            "tokens": jnp.asarray(rng.integers(1, 40000, (b, 77)), jnp.int32),
+        }
+        cfg = {}
+        bank = None
+    elif model_name == "declip_res50":
+        model = model_entry({
+            "type": "declip_res50",
+            "kwargs": {
+                "image_encode": {"embed_dim": 1024},
+                "text_encode": {"embed_dim": 1024, "checkpoint": remat},
+                "clip": {"use_allgather": True, "text_mask_type": "MLM",
+                         "return_nn_bank": True, "feature_dim": 1024},
+                "dtype": "bfloat16",
+            },
+        })
+        labels = np.full((b, 77), -100, np.int32)
+        labels[:, 1:12] = 7
+        batch = {
+            "images": jnp.asarray(
+                rng.normal(size=(b, 224, 224, 6)).astype(np.float32)),
+            "tokens": jnp.asarray(rng.integers(1, 500, (b, 77)), jnp.int32),
+            "tokens_aug": jnp.asarray(rng.integers(1, 500, (b, 77)), jnp.int32),
+            "mlm_tokens": jnp.asarray(rng.integers(1, 500, (b, 77)), jnp.int32),
+            "mlm_labels": jnp.asarray(labels),
+        }
+        from declip_tpu.config import parse_config as _pc
+
+        cfg = _pc(
+            """
+clip_simsiam_loss_weight: {clip_loss: 0.4, nn_text: 0.2, simsiam_loss: 0.2, masking_language: 0.2}
+data: {train: {image_text_two_view: True}}
+grad_clip: {type: logit_scale_param_value, value: 3, max_value: 6}
+"""
+        )
+        bank = init_bank(jax.random.PRNGKey(1), 2 ** 16, 1024)
+    else:
+        raise SystemExit(f"unknown model {model_name}")
 
     variables = jax.jit(
         lambda: model.init(jax.random.PRNGKey(0), batch, train=True)
@@ -62,18 +109,24 @@ def main():
                                      "betas": [0.9, 0.98]}},
         params, sched,
         pconfig={"ln_w": {"weight_decay": 0}, "ln_b": {"weight_decay": 0},
+                 "bn_w": {"weight_decay": 0}, "bn_b": {"weight_decay": 0},
                  "linear_b": {"weight_decay": 0},
                  "logit_scale": {"weight_decay": 0}},
+        grad_clip=dict(cfg.get("grad_clip") or {}) if cfg else None,
     )
     state = new_train_state(
         params=params, batch_stats=variables.get("batch_stats", {}),
-        opt_state=tx.init(params),
+        opt_state=tx.init(params), bank_text=bank,
     )
     step = jax.jit(
-        make_train_step(model, tx, {}, sched, total_steps=10000),
+        make_train_step(model, tx, cfg, sched, total_steps=10000),
         donate_argnums=(0,),
     )
+    return step, state, batch, b, n_chips
 
+
+def run(model_name: str, per_chip_batch: int, remat: bool = False):
+    step, state, batch, b, n_chips = build(model_name, per_chip_batch, remat)
     for _ in range(WARMUP_STEPS):
         state, metrics = step(state, batch)
     # force a full device round-trip (block_until_ready can be a no-op
@@ -85,13 +138,26 @@ def main():
         state, metrics = step(state, batch)
     float(metrics["loss"])
     dt = time.perf_counter() - t0
+    return b * BENCH_STEPS / dt / n_chips
 
-    pairs_per_sec_chip = b * BENCH_STEPS / dt / n_chips
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="clip_vitb32",
+                    choices=sorted(A100_BASELINE))
+    ap.add_argument("--batch", type=int, default=0, help="per-chip batch")
+    ap.add_argument("--remat", action="store_true")
+    args = ap.parse_args()
+
+    batch = args.batch or {"clip_vitb32": 128, "declip_res50": 64}[args.model]
+    pairs = run(args.model, batch, args.remat)
+    label = {"clip_vitb32": "CLIP ViT-B/32", "declip_res50": "DeCLIP-R50"}[
+        args.model]
     print(json.dumps({
-        "metric": "image-text pairs/sec/chip (CLIP ViT-B/32 train, bf16)",
-        "value": round(pairs_per_sec_chip, 1),
+        "metric": f"image-text pairs/sec/chip ({label} train, bf16)",
+        "value": round(pairs, 1),
         "unit": "pairs/s/chip",
-        "vs_baseline": round(pairs_per_sec_chip / A100_BASELINE_PAIRS_PER_SEC, 3),
+        "vs_baseline": round(pairs / A100_BASELINE[args.model], 3),
     }))
 
 

@@ -226,6 +226,42 @@ def _mocov2_ops(size: int, rng) -> List[Callable]:
     ]
 
 
+class GeometryCrop:
+    """Geometry-only op for the on-device pipeline: random-resized crop to
+    uint8 HWC (photometrics happen on the TPU, data/device_aug.py)."""
+
+    def __init__(self, size: int = 224, scale=(0.2, 1.0),
+                 rng: Optional[random.Random] = None):
+        self.crop = RandomResizedCrop(size, scale=scale, rng=rng)
+
+    def __call__(self, img: Image.Image) -> np.ndarray:
+        return np.asarray(self.crop(img), np.uint8)
+
+
+def build_geometry_augmentation(
+    aug_type: str, rng: Optional[random.Random] = None
+) -> Transform:
+    """uint8 multi-view geometry for device-side augmentation. Crop scales
+    mirror the named presets; photometric params live in device_aug."""
+    rng = rng or random
+    if aug_type in ("MOCOV2", "SIMCLR", "SIMSIAM"):
+        g = GeometryCrop(224, (0.2, 1.0), rng)
+        return MultiView([g, g])
+    if aug_type == "STANDARD_CLIP":
+        crop = RandomCropMinSize(224, rng=rng)
+        return lambda img: np.asarray(crop(img), np.uint8)
+    if aug_type == "SLIP":
+        base = GeometryCrop(224, (0.5, 1.0), rng)
+        strong = GeometryCrop(224, (0.2, 1.0), rng)
+        return MultiView([base, strong, strong])
+    if aug_type.startswith("ONECROP"):
+        size = int(aug_type[7:] or 224)
+        resize = Resize(256 if size <= 256 else size)
+        crop = CenterCrop(size)
+        return lambda img: np.asarray(crop(resize(img)), np.uint8)
+    raise KeyError(f"no geometry variant for {aug_type!r}")
+
+
 def build_common_augmentation(
     aug_type: str, rng: Optional[random.Random] = None
 ) -> Transform:

@@ -170,6 +170,10 @@ class Solver:
         )
         self.train_dataset = ds
         self.train_cfg = train_cfg
+        views = {"clip": 1, "filip": 2, "slip": 3}.get(self.method, 2)
+        self.device_aug = (
+            {"views": views} if train_cfg.get("device_aug", False) else None
+        )
         self.test_cfgs: List[Dict] = list(dcfg.get("test") or [])
         if isinstance(self.test_cfgs, dict):
             self.test_cfgs = [self.test_cfgs]
@@ -178,6 +182,14 @@ class Solver:
         mlm = getattr(self.model, "text_mask_type", None)
         eda = bool(getattr(self.model, "EDA", False)) and self.method in (
             "declip", "defilip")
+        if self.device_aug is not None:
+            # on-device pipeline: swap the dataset transform to geometry-only
+            # uint8 crops; photometrics run inside the jitted step
+            from declip_tpu.data.transforms import build_geometry_augmentation
+
+            aug = self.train_cfg.get("transforms", {}).get(
+                "type", "STANDARD_CLIP")
+            self.train_dataset.transform = build_geometry_augmentation(aug)
         sampler = DistributedGivenIterationSampler(
             dataset_size=len(self.train_dataset),
             total_iter=self.max_iter,
@@ -303,7 +315,7 @@ class Solver:
         step_fn = make_train_step(
             self.model, self.tx, self.config, self.schedule,
             method=self.method, ema_cfg=self.ema_cfg,
-            total_steps=self.max_iter,
+            total_steps=self.max_iter, device_aug=self.device_aug,
         )
         self._train_step = jax.jit(step_fn, donate_argnums=(0,))
 

@@ -99,12 +99,18 @@ def make_train_step(
     axis_name: Optional[str] = None,
     ema_cfg: Optional[EmaConfig] = None,
     total_steps: int = 1,
+    device_aug: Optional[Dict] = None,
+    seed: int = 0,
 ):
+    """device_aug: when set (e.g. {'views': 2}), batch['images'] arrives as
+    uint8 geometry-only crops and the MOCOV2 photometric augmentation runs
+    fused on-device (declip_tpu/data/device_aug.py) before the model."""
     method = method or method_of(model)
     grad_clip = dict(cfg.get("grad_clip") or {})
     use_bank = bool(getattr(model, "return_nn_bank", False))
     nn_topk = int(getattr(model, "nn_topk", 1))
     use_nn_simsiam = bool(getattr(model, "return_simsiam_nn_text", False))
+    aug_base_key = jax.random.PRNGKey(seed)
 
     def loss_fn(params, state: TrainState, batch):
         variables = {"params": params}
@@ -153,6 +159,16 @@ def make_train_step(
         return total, (metrics, mutated.get("batch_stats"), out)
 
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        if device_aug is not None:
+            from declip_tpu.data.device_aug import augment_views
+
+            rng = jax.random.fold_in(aug_base_key, state.step)
+            batch = dict(batch)
+            batch["images"] = augment_views(
+                rng, batch["images"],
+                views=int(device_aug.get("views", 2)),
+                dtype=getattr(model, "dtype", jnp.float32),
+            )
         (_, (metrics, new_stats, out)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params, state, batch)
