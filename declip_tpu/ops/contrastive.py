@@ -97,6 +97,76 @@ def clip_pair_loss(
     return clip_infonce(logits_i, logits_t, labels), logits_i, labels
 
 
+def chunked_cross_entropy(
+    feat_a: jax.Array,
+    feat_b_gathered: jax.Array,
+    scale: jax.Array,
+    labels: jax.Array,
+    chunk_size: int = 1024,
+) -> jax.Array:
+    """Row-wise CE over ``scale * feat_a @ feat_b_gathered.T`` WITHOUT
+    materializing the [B, GB] logits matrix.
+
+    The pod-wide InfoNCE similarity matrix is the memory-critical tensor at
+    scale (SURVEY.md §5.7: [GB, GB] fp32 at GB=32k is 4.3GB/chip). This
+    computes the per-row logsumexp blockwise over column chunks with a
+    rematerialized scan body, so peak memory is one [B, chunk] block and the
+    backward pass recomputes each block instead of saving it — the
+    XLA-native equivalent of a ring/blockwise kernel (gradients flow through
+    both operands).
+    """
+    b, d = feat_a.shape
+    gb = feat_b_gathered.shape[0]
+    c = min(chunk_size, gb)
+    while gb % c:
+        c -= 1
+    nchunks = gb // c
+    chunks = feat_b_gathered.reshape(nchunks, c, d)
+    scale32 = scale.astype(jnp.float32)
+
+    @jax.checkpoint
+    def body(carry, inp):
+        m, s = carry  # running max [B], running sum of exp [B]
+        idx, blk = inp
+        logits = scale32 * jnp.einsum(
+            "nd,md->nm", feat_a, blk, preferred_element_type=jnp.float32
+        )
+        bmax = logits.max(axis=-1)
+        new_m = jnp.maximum(m, bmax)
+        s = s * jnp.exp(m - new_m) + jnp.exp(
+            logits - new_m[:, None]
+        ).sum(axis=-1)
+        return (new_m, s), None
+
+    init = (jnp.full((b,), -jnp.inf, jnp.float32), jnp.zeros((b,), jnp.float32))
+    (m, s), _ = lax.scan(body, init, (jnp.arange(nchunks), chunks))
+    lse = m + jnp.log(s)
+
+    # positive logit: one [B] gather + dot, no matrix
+    pos_feat = feat_b_gathered[labels]
+    pos = scale32 * jnp.einsum(
+        "nd,nd->n", feat_a, pos_feat, preferred_element_type=jnp.float32
+    )
+    return (lse - pos).mean()
+
+
+def chunked_clip_pair_loss(
+    image_embed: jax.Array,
+    text_embed: jax.Array,
+    scale: jax.Array,
+    axis_name: Optional[str] = None,
+    chunk_size: int = 1024,
+) -> jax.Array:
+    """Memory-bounded symmetric InfoNCE (drop-in for clip_pair_loss when the
+    global batch is large)."""
+    g_img = gather_features(image_embed, axis_name)
+    g_txt = gather_features(text_embed, axis_name)
+    labels = infonce_labels(image_embed.shape[0], axis_name)
+    li = chunked_cross_entropy(image_embed, g_txt, scale, labels, chunk_size)
+    lt = chunked_cross_entropy(text_embed, g_img, scale, labels, chunk_size)
+    return (li + lt) / 2
+
+
 def topk_accuracy(
     logits: jax.Array, labels: jax.Array, ks: Tuple[int, ...] = (1, 5)
 ) -> Tuple[jax.Array, ...]:

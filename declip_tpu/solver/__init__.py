@@ -334,7 +334,7 @@ class Solver:
 
         spike_window = AverageMeter(length=100)
         loader = self._train_loader(self.start_step - 1)
-        it = iter(loader)
+        it = self._device_prefetch(iter(loader))
         step = self.start_step
         t_last = time.time()
         while step < self.max_iter:
@@ -343,7 +343,6 @@ class Solver:
             except StopIteration:
                 break
             data_time = time.time() - t_last
-            batch = self._shard(batch)
             if prof_on and step == prof_start:
                 # jax.profiler trace (SURVEY.md §5.1's TPU equivalent of the
                 # reference's manual timing meters)
@@ -364,7 +363,7 @@ class Solver:
                 # loss-spike / NaN rollback (declip_solver.py:548-619)
                 if self._spike(loss, spike_window) and self._rollback(step):
                     loader = self._train_loader(int(self.state.step) - 1)
-                    it = iter(loader)
+                    it = self._device_prefetch(iter(loader))
                     step = int(self.state.step)
                     t_last = time.time()
                     continue
@@ -411,6 +410,38 @@ class Solver:
         arrays = {k: v for k, v in batch.items()
                   if isinstance(v, np.ndarray)}
         return shard_batch(self.mesh, arrays)
+
+    def _device_prefetch(self, it, depth: int = 2):
+        """Overlap host->device transfer with compute: shard the next
+        batches on a background thread while the current step runs (the
+        reference's DataPrefetcher role, clip_solver.py:30-61)."""
+        from concurrent.futures import ThreadPoolExecutor
+        from collections import deque
+
+        pool = ThreadPoolExecutor(1)
+        buf = deque()
+
+        def submit():
+            try:
+                batch = next(it)
+            except StopIteration:
+                return None
+            return batch
+
+        def fill():
+            while len(buf) < depth:
+                fut = pool.submit(lambda: (
+                    None if (b := submit()) is None else self._shard(b)))
+                buf.append(fut)
+
+        fill()
+        while buf:
+            out = buf.popleft().result()
+            if out is None:
+                break
+            fill()
+            yield out
+        pool.shutdown(wait=False)
 
     def _spike(self, loss: float, window: AverageMeter) -> bool:
         if not np.isfinite(loss):
