@@ -207,6 +207,11 @@ def make_train_step(
         metrics = dict(metrics)
         metrics["lr"] = schedule(state.step)
         metrics["grad_norm"] = optax.global_norm(grads)
+        if cfg.get("check_grad", False):
+            # per-top-module grad norms (the reference's check_grad /
+            # check_model_and_grad debug hooks, clip_solver.py:544-545)
+            for name, sub in grads.items():
+                metrics[f"grad_norm/{name}"] = optax.global_norm(sub)
         if count is not None:
             metrics["logit_clip_count"] = count
         return new_state, metrics

@@ -20,7 +20,7 @@ def _qkv(rng, b=2, h=2, l=7, dh=16):
 @pytest.mark.parametrize("l", [7, 16, 77])
 def test_forward_matches_xla(rng, causal, l):
     q, k, v = _qkv(rng, l=l)
-    ref = _xla_attention(q, k, v, causal=causal, scale=q.shape[-1] ** -0.5)
+    ref = _xla_attention(q, k, v, causal, q.shape[-1] ** -0.5)
     out = flash_attention(q, k, v, causal=causal, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
                                atol=2e-6)
@@ -35,8 +35,8 @@ def test_gradients_match_xla(rng, causal):
                 ).sum()
 
     def loss_ref(q, k, v):
-        return (_xla_attention(q, k, v, causal=causal,
-                               scale=q.shape[-1] ** -0.5) ** 2).sum()
+        return (_xla_attention(q, k, v, causal,
+                               q.shape[-1] ** -0.5) ** 2).sum()
 
     g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
     g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
