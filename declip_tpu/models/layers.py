@@ -172,7 +172,20 @@ class Transformer(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         block = ResidualAttentionBlock
         if self.remat:
+            # reference `checkpoint:` semantics: full activation remat
+            # (torch checkpoint_sequential, base_transformer.py:66-73)
             block = nn.remat(block, prevent_cse=False)
+        else:
+            # default: save only MXU (matmul) outputs per layer; recompute
+            # LayerNorm/GELU/softmax in backward. Under nn.scan the naive
+            # policy saves ~370MB/layer of elementwise intermediates at
+            # B=128 L=77 W=512 — this policy cuts transformer backward
+            # memory 3.2x for a few percent of (VPU-only) recompute.
+            block = nn.remat(
+                block,
+                prevent_cse=False,
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            )
         scanned = nn.scan(
             block,
             variable_axes={"params": 0},
