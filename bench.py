@@ -149,7 +149,7 @@ def main():
     ap.add_argument("--remat", action="store_true")
     args = ap.parse_args()
 
-    batch = args.batch or {"clip_vitb32": 128, "declip_res50": 96}[args.model]
+    batch = args.batch or {"clip_vitb32": 128, "declip_res50": 128}[args.model]
     pairs = run(args.model, batch, args.remat)
     label = {"clip_vitb32": "CLIP ViT-B/32", "declip_res50": "DeCLIP-R50"}[
         args.model]

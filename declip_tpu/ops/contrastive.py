@@ -167,6 +167,78 @@ def chunked_clip_pair_loss(
     return (li + lt) / 2
 
 
+def ring_cross_entropy(
+    feat_a: jax.Array,
+    feat_b_local: jax.Array,
+    scale: jax.Array,
+    axis_name: str,
+) -> jax.Array:
+    """Gather-free ring InfoNCE CE under shard_map.
+
+    Instead of all-gathering the B-side features ([GB, D] per chip), the
+    local [B_local, D] block circulates around the ring via ``ppermute``
+    (SURVEY.md §5.7's prescription): each of the W steps computes one
+    [B_local, B_local] logits tile and folds it into a running logsumexp.
+    Peak memory is one tile; comms ride ICI neighbor links and overlap with
+    the tile matmul. Gradients flow through ppermute (its transpose is the
+    reverse permutation).
+
+    Positive logits: row i's positive is column i of the tile that
+    originated on this shard (labels = own global rows).
+    """
+    w = lax.axis_size(axis_name)
+    b = feat_a.shape[0]
+    scale32 = scale.astype(jnp.float32)
+    perm = [(i, (i + 1) % w) for i in range(w)]
+
+    def body(carry, step):
+        m, s, pos, blk = carry
+        logits = scale32 * jnp.einsum(
+            "nd,md->nm", feat_a, blk, preferred_element_type=jnp.float32
+        )
+        bmax = logits.max(axis=-1)
+        new_m = jnp.maximum(m, bmax)
+        s = s * jnp.exp(m - new_m) + jnp.exp(
+            logits - new_m[:, None]
+        ).sum(axis=-1)
+        # the block held at step t originated at (my - t) mod W; our own
+        # block (holding our positives on the diagonal) is the t=0 one
+        is_mine = step == 0
+        pos = jnp.where(is_mine, jnp.diagonal(logits), pos)
+        blk = lax.ppermute(blk, axis_name, perm)
+        return (new_m, s, pos, blk), None
+
+    def _varying(x):
+        # mark constants as device-varying so the scan carry typechecks
+        # under shard_map's manual-axes tracking
+        try:
+            return lax.pvary(x, axis_name)
+        except AttributeError:  # older jax
+            return x
+
+    init = (
+        _varying(jnp.full((b,), -jnp.inf, jnp.float32)),
+        _varying(jnp.zeros((b,), jnp.float32)),
+        _varying(jnp.zeros((b,), jnp.float32)),
+        feat_b_local,
+    )
+    (m, s, pos, _), _ = lax.scan(body, init, jnp.arange(w))
+    lse = m + jnp.log(s)
+    return (lse - pos).mean()
+
+
+def ring_clip_pair_loss(
+    image_embed: jax.Array,
+    text_embed: jax.Array,
+    scale: jax.Array,
+    axis_name: str,
+) -> jax.Array:
+    """Symmetric ring InfoNCE — the fully gather-free CLIP loss."""
+    li = ring_cross_entropy(image_embed, text_embed, scale, axis_name)
+    lt = ring_cross_entropy(text_embed, image_embed, scale, axis_name)
+    return (li + lt) / 2
+
+
 def topk_accuracy(
     logits: jax.Array, labels: jax.Array, ks: Tuple[int, ...] = (1, 5)
 ) -> Tuple[jax.Array, ...]:
