@@ -412,35 +412,35 @@ class Solver:
         return shard_batch(self.mesh, arrays)
 
     def _device_prefetch(self, it, depth: int = 2):
-        """Overlap host->device transfer with compute: shard the next
-        batches on a background thread while the current step runs (the
-        reference's DataPrefetcher role, clip_solver.py:30-61)."""
-        from concurrent.futures import ThreadPoolExecutor
+        """Keep `depth` host batches staged ahead on a background thread and
+        shard them to the device from the MAIN thread (the reference's
+        DataPrefetcher role, clip_solver.py:30-61). device_put must stay on
+        the main thread: remote-execution tunnels (axon) deadlock on
+        concurrent transfers, and JAX's async dispatch already overlaps the
+        main-thread transfer with device compute."""
         from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
 
         pool = ThreadPoolExecutor(1)
         buf = deque()
 
-        def submit():
+        def fetch():
             try:
-                batch = next(it)
+                return next(it)
             except StopIteration:
                 return None
-            return batch
 
         def fill():
             while len(buf) < depth:
-                fut = pool.submit(lambda: (
-                    None if (b := submit()) is None else self._shard(b)))
-                buf.append(fut)
+                buf.append(pool.submit(fetch))
 
         fill()
         while buf:
-            out = buf.popleft().result()
-            if out is None:
+            batch = buf.popleft().result()
+            if batch is None:
                 break
             fill()
-            yield out
+            yield self._shard(batch)
         pool.shutdown(wait=False)
 
     def _spike(self, loss: float, window: AverageMeter) -> bool:
