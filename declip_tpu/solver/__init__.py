@@ -72,11 +72,29 @@ from declip_tpu.train import (
 from declip_tpu.utils import AverageMeter, MeterGroup, ScalarWriter, create_logger
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache — first-run compiles of the big train
+    steps take minutes (especially through remote-compile tunnels); every
+    later solver start is then instant."""
+    import os
+
+    try:
+        cache = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache", "jax_comp_cache"),
+        )
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+
+
 class Solver:
     def __init__(self, config, *, devices=None):
         if isinstance(config, str):
             config = parse_config(config)
         self.config = config
+        _enable_compile_cache()
         maybe_initialize_distributed()
         self.rank = jax.process_index()
         self.world = jax.process_count()
