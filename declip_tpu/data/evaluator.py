@@ -95,5 +95,31 @@ class CustomEvaluator:
         })
 
 
+@EVALUATORS.register(name="multicls")
+class MultiClsEvaluator:
+    """Multi-head classification accuracy (metrics/multicls_evaluator.py):
+    scores is a list/array of per-head logits, labels [N, H]; reports per-head
+    top-1 and the mean."""
+
+    def __init__(self, num_heads: Optional[int] = None):
+        self.num_heads = num_heads
+
+    def eval_arrays(self, scores, labels: np.ndarray) -> Metric:
+        labels = np.asarray(labels)
+        if labels.ndim == 1:
+            labels = labels[:, None]
+        heads = self.num_heads or labels.shape[1]
+        out = {}
+        accs = []
+        for h in range(heads):
+            s = np.asarray(scores[h] if isinstance(scores, (list, tuple))
+                           else scores)
+            acc = float(100.0 * (s.argmax(-1) == labels[:, h]).mean())
+            out[f"head{h}_top1"] = acc
+            accs.append(acc)
+        out["top1"] = float(np.mean(accs))
+        return Metric(out)
+
+
 def build_evaluator(cfg) -> object:
     return EVALUATORS.build(cfg)
