@@ -37,6 +37,7 @@ class AverageMeter:
             # reference ignores num in windowed mode (misc.py:41-48)
             self.history.append(val)
             self.avg = sum(self.history) / len(self.history)
+            self.count += 1  # total updates seen (spike detector warmup)
         else:
             self.sum += val * num
             self.count += num
