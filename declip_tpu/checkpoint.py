@@ -90,3 +90,51 @@ def restore_checkpoint(path: str, target):
     with open(path, "rb") as f:
         blob = f.read()
     return serialization.from_bytes(target, blob)
+
+
+# --------------------------------------------------------------------------
+# Orbax backend (optional): async, multi-host-aware, sharded saves for
+# production-scale runs. The msgpack path above remains the default (single
+# file, torch-convertible layout); select with saver.backend: orbax.
+# --------------------------------------------------------------------------
+
+_orbax_mgr = None
+
+
+def _orbax_manager(ckpt_dir: str, keep: int = 10):
+    global _orbax_mgr
+    import orbax.checkpoint as ocp
+
+    if _orbax_mgr is None or str(_orbax_mgr.directory) != os.path.abspath(
+            ckpt_dir):
+        _orbax_mgr = ocp.CheckpointManager(
+            os.path.abspath(ckpt_dir),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=keep, create=True, enable_async_checkpointing=True
+            ),
+        )
+    return _orbax_mgr
+
+
+def save_checkpoint_orbax(ckpt_dir: str, state) -> None:
+    """Async sharded save; returns immediately, the write happens in the
+    background (waits for any previous save first)."""
+    import orbax.checkpoint as ocp
+
+    mgr = _orbax_manager(ckpt_dir)
+    mgr.save(int(state.step), args=ocp.args.StandardSave(state))
+
+
+def restore_checkpoint_orbax(ckpt_dir: str, target, step: Optional[int] = None):
+    import orbax.checkpoint as ocp
+
+    mgr = _orbax_manager(ckpt_dir)
+    step = step if step is not None else mgr.latest_step()
+    if step is None:
+        return None
+    return mgr.restore(step, args=ocp.args.StandardRestore(target))
+
+
+def wait_for_orbax() -> None:
+    if _orbax_mgr is not None:
+        _orbax_mgr.wait_until_finished()

@@ -311,12 +311,22 @@ class Solver:
         # auto-resume (clip_solver.py:128-139)
         self.start_step = 0
         if self.config.get_path("saver.pretrain.auto_resume", True):
-            last = find_last_checkpoint(self.path.ckpt_path)
-            if last is not None:
-                state = restore_checkpoint(last, state)
-                self.start_step = int(state.step)
-                self.logger.info(
-                    f"auto-resumed from {last} at step {self.start_step}")
+            if self.config.get_path("saver.backend") == "orbax":
+                from declip_tpu.checkpoint import restore_checkpoint_orbax
+
+                restored = restore_checkpoint_orbax(self.path.ckpt_path, state)
+                if restored is not None:
+                    state = restored
+                    self.start_step = int(state.step)
+                    self.logger.info(
+                        f"auto-resumed (orbax) at step {self.start_step}")
+            else:
+                last = find_last_checkpoint(self.path.ckpt_path)
+                if last is not None:
+                    state = restore_checkpoint(last, state)
+                    self.start_step = int(state.step)
+                    self.logger.info(
+                        f"auto-resumed from {last} at step {self.start_step}")
         self.state = jax.device_put(state, self._replicated())
 
     def _feature_dim(self, params) -> int:
@@ -413,14 +423,29 @@ class Solver:
             if val_freq and step % val_freq == 0 and step > 0:
                 self.validate(step)
             if save_freq and step % save_freq == 0 and self.rank == 0:
-                k_dir = (self.path.ckpt_k_times_path
-                         if step % (save_freq * 20) == 0 else None)
-                save_checkpoint(self.path.ckpt_path, self.state,
-                                save_many=save_many, k_times_dir=k_dir)
-                gc_checkpoints(self.path.ckpt_path, keep=10)
+                if self.config.get_path("saver.backend") == "orbax":
+                    from declip_tpu.checkpoint import save_checkpoint_orbax
+
+                    save_checkpoint_orbax(self.path.ckpt_path, self.state)
+                else:
+                    k_dir = (self.path.ckpt_k_times_path
+                             if step % (save_freq * 20) == 0 else None)
+                    save_checkpoint(self.path.ckpt_path, self.state,
+                                    save_many=save_many, k_times_dir=k_dir)
+                    gc_checkpoints(self.path.ckpt_path, keep=10)
 
         if self.rank == 0:
-            save_checkpoint(self.path.ckpt_path, self.state, save_many=True)
+            if self.config.get_path("saver.backend") == "orbax":
+                from declip_tpu.checkpoint import (
+                    save_checkpoint_orbax,
+                    wait_for_orbax,
+                )
+
+                save_checkpoint_orbax(self.path.ckpt_path, self.state)
+                wait_for_orbax()
+            else:
+                save_checkpoint(self.path.ckpt_path, self.state,
+                                save_many=True)
         self.validate(step)
         self.writer.close()
 
