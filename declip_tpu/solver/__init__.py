@@ -599,8 +599,15 @@ class Solver:
         class_emb = self.class_embeddings(params, label_texts, n_class)
 
         encode_image = self._encode_image_fn(state.batch_stats)
-        dense_eval = bool(tcfg.get("dense_eval", False)) and hasattr(
-            self.model, "encode_image_dense")
+        # FILIP-family evaluates with token-wise late interaction by
+        # default (filip_solver.py:839-960); override with dense_eval: false
+        default_dense = self.method in ("filip", "defilip")
+        has_dense_head = bool(
+            getattr(self.model, "return_dense", False)
+            or getattr(self.model, "return_filip", False)
+        )
+        dense_eval = bool(tcfg.get("dense_eval", default_dense)) and \
+            hasattr(self.model, "encode_image_dense") and has_dense_head
         if dense_eval:
             dense_class = self._dense_class_embeddings(
                 params, label_texts, n_class)
