@@ -26,6 +26,12 @@ def install_reference(tmp_bpe_dir=None):
     _stub("timm")
     _stub("textaugment", EDA=object)
     _stub("ftfy", fix_text=lambda s: s)
+
+    class _EasyDict(dict):
+        __getattr__ = dict.__getitem__
+        __setattr__ = dict.__setitem__
+
+    _stub("easydict", EasyDict=_EasyDict)
     # the reference hardcodes .cuda() inside forward (text_transformer.py:188)
     import torch
 
