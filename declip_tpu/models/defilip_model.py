@@ -164,21 +164,23 @@ class DEFILIP(nn.Module):
             d_img_2 = l2_normalize(self.image_mapping(image_dense_2))
             d_txt = l2_normalize(self.text_mapping(words if words is not None else words_aug))
             d_txt_aug = l2_normalize(self.text_mapping(words_aug))
+            out["dense_image_1"], out["dense_text"] = d_img_1, d_txt
             if self.select_topk:
-                d_img_1_s, d_txt_s = topk_token_select(d_img_1, d_txt, self.top_k)
-                out["dense_image_1"], out["dense_text"] = d_img_1_s, d_txt_s
-                if self.dense_aug:
-                    d_img_2_s, d_txt_aug_s = topk_token_select(
-                        d_img_2, d_txt_aug, self.top_k
-                    )
-                    out["dense_image_2"], out["dense_text_aug"] = (
-                        d_img_2_s,
-                        d_txt_aug_s,
-                    )
+                # query side keeps all tokens; only the gathered side is
+                # top-k selected (filip.py:78-105, see filip_model.py)
+                s_img_1, s_txt = topk_token_select(d_img_1, d_txt, self.top_k)
             else:
-                out["dense_image_1"], out["dense_text"] = d_img_1, d_txt
-                if self.dense_aug:
-                    out["dense_image_2"], out["dense_text_aug"] = d_img_2, d_txt_aug
+                s_img_1, s_txt = d_img_1, d_txt
+            out["dense_image_1_sel"], out["dense_text_sel"] = s_img_1, s_txt
+            if self.dense_aug:
+                out["dense_image_2"], out["dense_text_aug"] = d_img_2, d_txt_aug
+                if self.select_topk:
+                    s_img_2, s_txt_aug = topk_token_select(
+                        d_img_2, d_txt_aug, self.top_k)
+                else:
+                    s_img_2, s_txt_aug = d_img_2, d_txt_aug
+                out["dense_image_2_sel"] = s_img_2
+                out["dense_text_aug_sel"] = s_txt_aug
             out["logit_scale_dense"] = jnp.exp(self.logit_scale_dense)
         return out
 

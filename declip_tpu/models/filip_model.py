@@ -136,12 +136,20 @@ class FILIP(nn.Module):
         if self.return_dense:
             dense_img = l2_normalize(self.image_mapping(image_dense))
             dense_txt = l2_normalize(self.text_mapping(words))
-            if self.select_topk:
-                dense_img, dense_txt = topk_token_select(
-                    dense_img, dense_txt, self.top_k
-                )
             out["dense_image"] = dense_img
             out["dense_text"] = dense_txt
+            if self.select_topk:
+                # reference semantics (filip.py:78-105): the QUERY side uses
+                # ALL its own tokens; only the gathered/key side is top-k
+                # selected. The loss pairs dense_image x gathered(sel_text)
+                # and dense_text x gathered(sel_image).
+                sel_img, sel_txt = topk_token_select(
+                    dense_img, dense_txt, self.top_k
+                )
+            else:
+                sel_img, sel_txt = dense_img, dense_txt
+            out["dense_image_sel"] = sel_img
+            out["dense_text_sel"] = sel_txt
             out["logit_scale_dense"] = jnp.exp(self.logit_scale_dense)
         return out
 

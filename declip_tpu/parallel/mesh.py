@@ -42,11 +42,21 @@ def shard_batch(mesh: Mesh, batch: dict) -> dict:
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)
 
 
+_dist_initialized = False
+
+
 def maybe_initialize_distributed() -> None:
-    """Multi-host rendezvous when launched under a JAX coordinator."""
+    """Multi-host rendezvous when launched under a JAX coordinator.
+
+    The env check MUST come before any backend query: jax.process_count()
+    initializes the local backend, after which jax.distributed.initialize()
+    refuses to run."""
     import os
 
-    if jax.process_count() > 1:
-        return  # already initialized
-    if "COORDINATOR_ADDRESS" in os.environ or "JAX_COORDINATOR_ADDRESS" in os.environ:
+    global _dist_initialized
+    if _dist_initialized:
+        return
+    if "COORDINATOR_ADDRESS" in os.environ or \
+            "JAX_COORDINATOR_ADDRESS" in os.environ:
         jax.distributed.initialize()
+        _dist_initialized = True

@@ -371,13 +371,16 @@ class Solver:
             except StopIteration:
                 break
             data_time = time.time() - t_last
-            if prof_on and step == prof_start:
+            if prof_on and step + 1 == prof_start:
                 # jax.profiler trace (SURVEY.md §5.1's TPU equivalent of the
                 # reference's manual timing meters)
                 jax.profiler.start_trace(
                     osp.join(self.path.event_path, "profile"))
             self.state, metrics = self._train_step(self.state, batch)
-            step = int(self.state.step)
+            # step is host-predictable — reading state.step here would force
+            # a blocking device->host sync every iteration and stall async
+            # dispatch (resynced only after rollback)
+            step += 1
             if prof_on and step == prof_start + prof_steps:
                 jax.tree.map(lambda x: x.block_until_ready(), metrics)
                 jax.profiler.stop_trace()
@@ -390,9 +393,9 @@ class Solver:
                 loss = metrics.get("loss", float("nan"))
                 # loss-spike / NaN rollback (declip_solver.py:548-619)
                 if self._spike(loss, spike_window) and self._rollback(step):
-                    loader = self._train_loader(int(self.state.step) - 1)
+                    step = int(self.state.step)  # resync host counter
+                    loader = self._train_loader(step - 1)
                     it = self._device_prefetch(iter(loader))
-                    step = int(self.state.step)
                     t_last = time.time()
                     continue
                 spike_window.update(loss)
@@ -422,30 +425,30 @@ class Solver:
 
             if val_freq and step % val_freq == 0 and step > 0:
                 self.validate(step)
-            if save_freq and step % save_freq == 0 and self.rank == 0:
+            if save_freq and step % save_freq == 0:
                 if self.config.get_path("saver.backend") == "orbax":
+                    # orbax sharded/async save is a cross-process collective
+                    # — every rank must participate
                     from declip_tpu.checkpoint import save_checkpoint_orbax
 
                     save_checkpoint_orbax(self.path.ckpt_path, self.state)
-                else:
+                elif self.rank == 0:
                     k_dir = (self.path.ckpt_k_times_path
                              if step % (save_freq * 20) == 0 else None)
                     save_checkpoint(self.path.ckpt_path, self.state,
                                     save_many=save_many, k_times_dir=k_dir)
                     gc_checkpoints(self.path.ckpt_path, keep=10)
 
-        if self.rank == 0:
-            if self.config.get_path("saver.backend") == "orbax":
-                from declip_tpu.checkpoint import (
-                    save_checkpoint_orbax,
-                    wait_for_orbax,
-                )
+        if self.config.get_path("saver.backend") == "orbax":
+            from declip_tpu.checkpoint import (
+                save_checkpoint_orbax,
+                wait_for_orbax,
+            )
 
-                save_checkpoint_orbax(self.path.ckpt_path, self.state)
-                wait_for_orbax()
-            else:
-                save_checkpoint(self.path.ckpt_path, self.state,
-                                save_many=True)
+            save_checkpoint_orbax(self.path.ckpt_path, self.state)
+            wait_for_orbax()
+        elif self.rank == 0:
+            save_checkpoint(self.path.ckpt_path, self.state, save_many=True)
         self.validate(step)
         self.writer.close()
 
@@ -503,7 +506,9 @@ class Solver:
         if not ckpts:
             self.logger.warning("spike but no checkpoint to roll back to")
             return False
-        target = ckpts[max(0, len(ckpts) - 3) - 1 if len(ckpts) >= 3 else 0]
+        # >= 3 save-points back from the newest (declip_solver.py:590-594);
+        # clamp to the oldest when fewer exist
+        target = ckpts[max(0, len(ckpts) - 4)]
         self.logger.warning(
             f"loss spike at {step}: rolling back to step {target[0]}, "
             f"warmup_lr x= 0.997"
@@ -557,24 +562,40 @@ class Solver:
                         self.writer.add_scalar(f"eval{i}/ema_{k}", v, step)
 
     def _encode_text_fn(self):
-        def fn(params, tokens):
-            return self.model.apply(
-                {"params": params}, tokens, method="encode_text")
-        return jax.jit(fn)
+        # cached: fresh closures would defeat jax.jit's cache and re-trace
+        # the tower on every validate() call
+        if not hasattr(self, "_jit_encode_text"):
+            def fn(params, tokens):
+                return self.model.apply(
+                    {"params": params}, tokens, method="encode_text")
+
+            self._jit_encode_text = jax.jit(fn)
+        return self._jit_encode_text
 
     def _encode_image_fn(self, batch_stats):
-        def fn(params, images):
-            variables = {"params": params}
-            if batch_stats:
-                variables["batch_stats"] = batch_stats
-            return self.model.apply(
-                variables, images, train=False, method="encode_image")
-        return jax.jit(fn)
+        if not hasattr(self, "_jit_encode_image"):
+            def fn(params, batch_stats, images):
+                variables = {"params": params}
+                if batch_stats:
+                    variables["batch_stats"] = batch_stats
+                return self.model.apply(
+                    variables, images, train=False, method="encode_image")
+
+            self._jit_encode_image = jax.jit(fn)
+        jit_fn = self._jit_encode_image
+        return lambda params, images: jit_fn(params, batch_stats, images)
 
     def class_embeddings(self, params, label_texts: List[str], n_class: int
                          ) -> jnp.ndarray:
         """Prompt-ensemble class embeddings (clip_solver.py:688-700)."""
         tok = get_tokenizer()
+        if n_class == 0:
+            raise ValueError(
+                "zero-shot eval needs class names: the test metafile has no "
+                "'label_name' fields (use a JSONL metafile with label/"
+                "label_name like the reference's val_official.json, or pass "
+                "class_names)."
+            )
         prompts_num = len(label_texts) // n_class
         encode = self._encode_text_fn()
         out = []
@@ -661,6 +682,25 @@ class Solver:
                 all_scores.append(scores)
                 all_labels.append(np.asarray([it["label"] for it in items]))
         evaluator = ImageNetEvaluator()
+        if self.world > 1:
+            # merge the per-rank dumps (base_dataset.py:122-139): barrier,
+            # rank 0 reads every shard file (shared FS, as the reference
+            # assumes), then metrics are broadcast to all hosts
+            from jax.experimental import multihost_utils
+
+            from declip_tpu.data.evaluator import merge_rank_results
+            from declip_tpu.parallel.comms import broadcast_object
+
+            multihost_utils.sync_global_devices("eval_dump")
+            if self.rank == 0:
+                lines = merge_rank_results(
+                    osp.join(self.path.result_path, "results.txt"))
+                metrics = evaluator.eval_jsonl(lines)
+            else:
+                metrics = None
+            return broadcast_object(metrics)
+        if not all_scores:
+            return Metric({"top1": 0.0, "top5": 0.0, "n": 0})
         return evaluator.eval_arrays(
             np.concatenate(all_scores), np.concatenate(all_labels))
 

@@ -190,10 +190,12 @@ def filip_losses(out, cfg, axis_name) -> Tuple[jax.Array, Metrics]:
 
     dense_loss = jnp.zeros(())
     if "dense_image" in out:
+        # query side uses ALL own tokens; the gathered side is the top-k
+        # selection (filip.py:92-105 gathers selected_feat only)
         di, dt = out["dense_image"], out["dense_text"]
         ds = out["logit_scale_dense"]
-        g_di = gather_features(di, axis_name)
-        g_dt = gather_features(dt, axis_name)
+        g_di = gather_features(out["dense_image_sel"], axis_name)
+        g_dt = gather_features(out["dense_text_sel"], axis_name)
         logits_di = late_interaction_logits(di, g_dt, ds)
         logits_dt = late_interaction_logits(dt, g_di, ds)
         dense_loss = clip_infonce(logits_di, logits_dt, labels)
@@ -204,8 +206,10 @@ def filip_losses(out, cfg, axis_name) -> Tuple[jax.Array, Metrics]:
         else jnp.zeros(())
     )
 
-    total = clip_loss * w.get("clip_loss", 0.0)
-    total = total + dense_loss * w.get("clip_dense_loss", 1.0)
+    # reference defaults (filip_solver.py:507-523): clip_loss is the
+    # required base term; dense/mlm terms only when their weight is set
+    total = clip_loss * w.get("clip_loss", 1.0)
+    total = total + dense_loss * w.get("clip_dense_loss", 0.0)
     total = total + mlm * w.get("masking_language", 0.0)
 
     top1, top5 = topk_accuracy(logits_i, labels)
@@ -227,17 +231,18 @@ def defilip_losses(out, cfg, axis_name, *, nn_text=None, nn_text_aug=None,
 
     filip_loss = jnp.zeros(())
     if "dense_image_1" in out:
+        # full-token query x gathered top-k-selected key (filip.py:92-105)
         ds = out["logit_scale_dense"]
         d_i1, d_t = out["dense_image_1"], out["dense_text"]
-        g_dt = gather_features(d_t, axis_name)
-        g_di1 = gather_features(d_i1, axis_name)
+        g_dt = gather_features(out["dense_text_sel"], axis_name)
+        g_di1 = gather_features(out["dense_image_1_sel"], axis_name)
         l_i = late_interaction_logits(d_i1, g_dt, ds)
         l_t = late_interaction_logits(d_t, g_di1, ds)
         filip_loss = clip_infonce(l_i, l_t, labels)
         if "dense_image_2" in out:  # dense_aug 4-way (defilip.py:400-403)
             d_i2, d_ta = out["dense_image_2"], out["dense_text_aug"]
-            g_dta = gather_features(d_ta, axis_name)
-            g_di2 = gather_features(d_i2, axis_name)
+            g_dta = gather_features(out["dense_text_aug_sel"], axis_name)
+            g_di2 = gather_features(out["dense_image_2_sel"], axis_name)
             aug_terms = [
                 clip_infonce(
                     late_interaction_logits(d_i2, g_dt, ds),

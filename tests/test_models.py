@@ -103,9 +103,11 @@ def test_filip_dense():
          "top_k": 1, "text_mask_type": "MLM"},
     )
     _, out, _ = init_apply(model, batch_for(2, mlm=True))
-    # RES=32/patch32 -> 1 patch token; top_k=1 selects 1
-    assert out["dense_image"].shape == (B, 1, 256)
-    assert out["dense_text"].shape == (B, 1, 256)
+    # full-token dense features (query side) + top-k selections (key side)
+    assert out["dense_image"].shape == (B, 1, 256)  # RES=32/patch32 -> 1 tok
+    assert out["dense_text"].shape == (B, 77, 256)
+    assert out["dense_image_sel"].shape == (B, 1, 256)
+    assert out["dense_text_sel"].shape == (B, 1, 256)  # top_k=1
     assert out["logit_scale_dense"].shape == ()
 
 
