@@ -98,7 +98,6 @@ class ClipDataset:
     ):
         roots = root_dir if isinstance(root_dir, (list, tuple)) else [root_dir]
         metas = meta_file if isinstance(meta_file, (list, tuple)) else [meta_file]
-        assert len(roots) == len(metas)
         self.read_from = read_from
         self.fseek = fseek
         self.transform = transform
@@ -111,6 +110,23 @@ class ClipDataset:
         self.metas: List[Dict] = []
         self._offsets: List[Tuple[str, int]] = []  # (meta_path, byte offset)
         self.num = 0
+
+        # HTTP metadata-server mode (clip_dataset.py:92-104,157-178):
+        # GET /get_len -> count, GET /get/{idx} -> meta JSON with source_id
+        self.server_cfg = None
+        if server_cfg:
+            ips = server_cfg["ip"]
+            ports = server_cfg["port"]
+            ips = [ips] if isinstance(ips, str) else list(ips)
+            ports = [ports] if isinstance(ports, int) else list(ports)
+            assert len(ips) == len(ports)
+            self.server_cfg = list(zip(ips, ports))
+            self._server_roots = roots
+            self.num = int(self._http_json(
+                f"http://{ips[0]}:{ports[0]}/get_len"))
+            return
+
+        assert len(roots) == len(metas)
         for root, meta in zip(roots, metas):
             if read_from == "synthetic":
                 n = int(meta)  # meta carries the synthetic sample count
@@ -145,7 +161,30 @@ class ClipDataset:
     def __len__(self) -> int:
         return self.num
 
+    @staticmethod
+    def _http_json(url: str, retries: int = 50):
+        import json as _json
+        import time
+        import urllib.request
+
+        for attempt in range(retries):
+            try:
+                with urllib.request.urlopen(url, timeout=30) as r:
+                    return _json.loads(r.read())
+            except Exception:
+                if attempt == retries - 1:
+                    raise
+                time.sleep(0.01 * (attempt + 1))
+
     def _meta(self, idx: int) -> Dict:
+        if self.server_cfg is not None:
+            ip, port = self._rng.choice(self.server_cfg)
+            meta = dict(self._http_json(f"http://{ip}:{port}/get/{idx}"))
+            src = int(meta.get("source_id", 0))
+            root = (self._server_roots[src]
+                    if src < len(self._server_roots) else "")
+            meta["filename"] = osp.join(root, meta["filename"])
+            return meta
         if self.fseek and self.read_from != "synthetic":
             path, off = self._offsets[idx]
             with open(path, "rb") as f:
@@ -169,7 +208,10 @@ class ClipDataset:
     def _load_image(self, idx: int, meta: Dict) -> Image.Image:
         if self.read_from == "synthetic":
             return _synthetic_image(idx, meta.get("label"))
-        path = osp.join(self.roots[idx], meta["filename"])
+        if self.server_cfg is not None:
+            path = meta["filename"]  # server metas carry the joined path
+        else:
+            path = osp.join(self.roots[idx], meta["filename"])
         data = self._read_bytes(path)
         if self.image_reader_type == "native":
             # C++ libjpeg decode (native/fastload.cc); PIL fallback for
