@@ -12,7 +12,13 @@ pipeline where they belong:
 - MLM masking (reference: per-sequence torch loop) -> vectorized numpy here.
 
 Worker threads build whole batches; futures are consumed in submission order
-so the stream is deterministic and exactly resumable (sampler contract).
+so the INDEX stream is deterministic and exactly resumable (the reference's
+resume contract, sampler.py:76-79, covers the index stream only — its torch
+worker augmentation RNG does not replay either). MLM masks and EDA draws are
+keyed by (seed, global batch index) so they DO replay exactly across resume
+(``start_batch_idx`` continues the numbering); PIL image-crop draws are the
+one remaining non-replayed source, same as the reference — the on-device
+augmentation path (device_aug) removes even that (keyed by step).
 PIL decode/resize releases the GIL, so threads scale; the C++ decode pool
 (native/) slots in underneath `dataset.__getitem__` when built.
 """
@@ -45,6 +51,7 @@ class ClipDataLoader:
         num_workers: int = 4,
         prefetch: int = 4,
         seed: int = 0,
+        start_batch_idx: int = 0,
         drop_last: bool = True,
         keep_raw: bool = False,
     ):
@@ -59,6 +66,7 @@ class ClipDataLoader:
         self.num_workers = max(1, num_workers)
         self.prefetch = max(1, prefetch)
         self.seed = seed
+        self.start_batch_idx = start_batch_idx
         self.drop_last = drop_last
         self.keep_raw = keep_raw
 
@@ -69,7 +77,9 @@ class ClipDataLoader:
     def _build_batch(self, indices: Sequence[int], batch_idx: int
                      ) -> Dict[str, Any]:
         items = [self.dataset[i] for i in indices]
-        images = np.stack([it["image"] for it in items]).astype(np.float32)
+        images = np.stack([it["image"] for it in items])
+        if images.dtype != np.uint8:  # uint8 = on-device-aug path: ship as-is
+            images = images.astype(np.float32)
         captions = [it["caption"] for it in items]
         labels = np.asarray([it["label"] for it in items], np.int32)
 
@@ -108,7 +118,7 @@ class ClipDataLoader:
         index_iter = iter(self.sampler)
 
         def batches_of_indices():
-            i = 0
+            i = self.start_batch_idx  # continues MLM/EDA keying over resume
             while True:
                 chunk = list(itertools.islice(index_iter, self.batch_size))
                 if not chunk:
@@ -182,5 +192,7 @@ def build_clip_dataloader(split_cfg: Dict, *, world_size: int = 1,
         eda=bool(split_cfg.get("eda", False)),
         text_mask_type=split_cfg.get("text_mask_type"),
         num_workers=int(split_cfg.get("num_workers", 4)),
+        seed=int(split_cfg.get("seed", 0)),
+        start_batch_idx=last_iter + 1,
         keep_raw=keep_raw,
     )

@@ -104,6 +104,7 @@ class ClipDataset:
         self.label_texts_ensemble = label_texts_ensemble
         self.evaluator = evaluator
         self.image_reader_type = image_reader_type
+        self._fake_bytes: Optional[bytes] = None
         self._rng = random.Random(seed)
 
         self.roots: List[str] = []
@@ -192,15 +193,15 @@ class ClipDataset:
                 return json.loads(f.readline())
         return self.metas[idx]
 
-    _fake_bytes: Optional[bytes] = None
-
     def _read_bytes(self, filename: str) -> bytes:
         if self.read_from == "fake":
             # single cached file served for every sample
-            # (base_dataset.py:81-86) — data-pipeline throughput testing
+            # (base_dataset.py:81-86) — data-pipeline throughput testing;
+            # cached per INSTANCE (train and eval datasets may point at
+            # different files)
             if self._fake_bytes is None:
                 with open(filename, "rb") as f:
-                    type(self)._fake_bytes = f.read()
+                    self._fake_bytes = f.read()
             return self._fake_bytes
         with open(filename, "rb") as f:
             return f.read()
@@ -312,6 +313,9 @@ class ImageNetDataset(ClipDataset):
         self.transform = transform
         self.label_texts_ensemble = label_texts_ensemble
         self.evaluator = evaluator
+        self.image_reader_type = "pil"
+        self.server_cfg = None
+        self._fake_bytes = None
         self._rng = random.Random(seed)
         self.roots = []
         self.metas = []

@@ -131,19 +131,43 @@ def photometric_augment(
     return x.astype(dtype)
 
 
+def normalize_only(images_u8: jax.Array, dtype=jnp.float32) -> jax.Array:
+    x = images_u8.astype(jnp.float32) / 255.0
+    x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+    return x.astype(dtype)
+
+
+# which views of each preset get the strong MOCOV2 photometrics; the others
+# are normalize-only (matching the host presets: SLIP's base view is
+# crop+normalize, STANDARD_SLIP; STANDARD_CLIP has no photometrics at all)
+_PRESET_STRONG_VIEWS = {
+    "MOCOV2": (True, True),
+    "SIMCLR": (True, True),
+    "SIMSIAM": (True, True),
+    "SLIP": (False, True, True),
+    "STANDARD_CLIP": (False,),
+    "ONECROP": (False,),
+}
+
+
 def augment_views(rng: jax.Array, crops_u8: jax.Array, *, views: int,
-                  dtype=jnp.float32, **kw) -> jax.Array:
+                  preset: str = "MOCOV2", dtype=jnp.float32, **kw
+                  ) -> jax.Array:
     """uint8 [B, H, W, 3*views] (independent host-side crops stacked on the
-    channel axis) -> normalized [B, H, W, 3*views] with independent
-    photometric draws per view."""
+    channel axis) -> normalized [B, H, W, 3*views]. Per-view treatment
+    follows the named preset: strong views get independent MOCOV2
+    photometric draws, weak views (SLIP base, CLIP single view) are
+    normalized only."""
+    strong = _PRESET_STRONG_VIEWS.get(preset, (True,) * views)
     outs = []
     for v in range(views):
-        outs.append(
-            photometric_augment(
-                jax.random.fold_in(rng, v),
-                crops_u8[..., 3 * v:3 * (v + 1)],
-                dtype=dtype,
-                **kw,
+        view = crops_u8[..., 3 * v:3 * (v + 1)]
+        if v < len(strong) and not strong[v]:
+            outs.append(normalize_only(view, dtype=dtype))
+        else:
+            outs.append(
+                photometric_augment(
+                    jax.random.fold_in(rng, v), view, dtype=dtype, **kw,
+                )
             )
-        )
     return jnp.concatenate(outs, axis=-1)

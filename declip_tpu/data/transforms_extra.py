@@ -41,12 +41,12 @@ OPS = {
     "TranslateX": (_translate_x, 0.0, 150 / 331),
     "TranslateY": (_translate_y, 0.0, 150 / 331),
     "Rotate": (lambda im, v: im.rotate(v), 0.0, 30.0),
-    "Color": (lambda im, v: ImageEnhance.Color(im).enhance(1 + v), -0.9, 0.9),
+    "Color": (lambda im, v: ImageEnhance.Color(im).enhance(1 + v), 0.0, 0.9),
     "Posterize": (lambda im, v: ImageOps.posterize(im, int(v)), 8, 4),
     "Solarize": (lambda im, v: ImageOps.solarize(im, int(v)), 256, 0),
-    "Contrast": (lambda im, v: ImageEnhance.Contrast(im).enhance(1 + v), -0.9, 0.9),
-    "Sharpness": (lambda im, v: ImageEnhance.Sharpness(im).enhance(1 + v), -0.9, 0.9),
-    "Brightness": (lambda im, v: ImageEnhance.Brightness(im).enhance(1 + v), -0.9, 0.9),
+    "Contrast": (lambda im, v: ImageEnhance.Contrast(im).enhance(1 + v), 0.0, 0.9),
+    "Sharpness": (lambda im, v: ImageEnhance.Sharpness(im).enhance(1 + v), 0.0, 0.9),
+    "Brightness": (lambda im, v: ImageEnhance.Brightness(im).enhance(1 + v), 0.0, 0.9),
     "AutoContrast": (lambda im, v: ImageOps.autocontrast(im), 0, 0),
     "Equalize": (lambda im, v: ImageOps.equalize(im), 0, 0),
     "Invert": (lambda im, v: ImageOps.invert(im), 0, 0),
@@ -87,10 +87,12 @@ def _apply(img: Image.Image, name: str, prob: float, magnitude: int,
         return img
     fn, lo, hi = OPS[name]
     v = lo + (hi - lo) * magnitude / 9.0
+    # geometric AND enhancement ops flip sign with p=0.5 (the reference's
+    # 1 +/- 0.1*m enhance factors, auto_augmentation.py): enhance(1+v) with
+    # v in [-0.9, 0.9] symmetric
     if name in ("ShearX", "ShearY", "Rotate", "TranslateX", "TranslateY",
                 "Color", "Contrast", "Sharpness", "Brightness"):
-        if rng.random() < 0.5 and name not in ("Color", "Contrast",
-                                               "Sharpness", "Brightness"):
+        if rng.random() < 0.5:
             v = -v
     return fn(img, v)
 

@@ -56,12 +56,11 @@ def dot_product_attention(
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if impl == "pallas":
-        try:
-            from declip_tpu.ops.flash_attention import flash_attention
+        # no silent fallback: flash_attention itself switches to interpret
+        # mode off-TPU, so any exception here is a real kernel bug
+        from declip_tpu.ops.flash_attention import flash_attention
 
-            return flash_attention(q, k, v, causal=causal, scale=scale)
-        except Exception:  # non-TPU backend or shape not supported
-            pass
+        return flash_attention(q, k, v, causal=causal, scale=scale)
     return _xla_attention(q, k, v, causal, scale)
 
 

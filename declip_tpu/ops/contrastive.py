@@ -118,10 +118,13 @@ def chunked_cross_entropy(
     b, d = feat_a.shape
     gb = feat_b_gathered.shape[0]
     c = min(chunk_size, gb)
-    while gb % c:
-        c -= 1
-    nchunks = gb // c
-    chunks = feat_b_gathered.reshape(nchunks, c, d)
+    # pad to a chunk multiple instead of shrinking c (a prime gb would
+    # otherwise degrade to c=1, i.e. a gb-step serial scan); padded rows are
+    # masked out of the logsumexp below
+    nchunks = -(-gb // c)
+    pad = nchunks * c - gb
+    padded = jnp.pad(feat_b_gathered, ((0, pad), (0, 0)))
+    chunks = padded.reshape(nchunks, c, d)
     scale32 = scale.astype(jnp.float32)
 
     @jax.checkpoint
@@ -131,7 +134,9 @@ def chunked_cross_entropy(
         logits = scale32 * jnp.einsum(
             "nd,md->nm", feat_a, blk, preferred_element_type=jnp.float32
         )
-        bmax = logits.max(axis=-1)
+        col = idx * c + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(col < gb, logits, -jnp.inf)
+        bmax = jnp.maximum(logits.max(axis=-1), -1e30)  # all-pad chunk safe
         new_m = jnp.maximum(m, bmax)
         s = s * jnp.exp(m - new_m) + jnp.exp(
             logits - new_m[:, None]

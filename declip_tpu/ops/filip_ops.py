@@ -29,9 +29,10 @@ def late_interaction_logits(
     b, n1, d = dense_1.shape
     gb, n2, _ = dense_2_gathered.shape
     c = min(chunk_size, gb)
-    while gb % c:
-        c -= 1
-    nchunks = gb // c
+    # pad to a chunk multiple (not shrink c — a prime gb would serialize);
+    # padded output columns are sliced off at the end
+    nchunks = -(-gb // c)
+    pad = nchunks * c - gb
 
     def per_chunk(d2_chunk):
         sim = jnp.einsum(
@@ -43,7 +44,8 @@ def late_interaction_logits(
     if nchunks == 1:
         out = per_chunk(dense_2_gathered)
     else:
-        chunks = dense_2_gathered.reshape(nchunks, c, n2, d)
+        padded = jnp.pad(dense_2_gathered, ((0, pad), (0, 0), (0, 0)))
+        chunks = padded.reshape(nchunks, c, n2, d)
         out = lax.map(per_chunk, chunks)  # [nchunks, B, C]
-        out = out.transpose(1, 0, 2).reshape(b, gb)
+        out = out.transpose(1, 0, 2).reshape(b, nchunks * c)[:, :gb]
     return scale.astype(jnp.float32) * out

@@ -189,8 +189,11 @@ class Solver:
         self.train_dataset = ds
         self.train_cfg = train_cfg
         views = {"clip": 1, "filip": 2, "slip": 3}.get(self.method, 2)
+        aug_type = train_cfg.get("transforms", {}).get(
+            "type", "STANDARD_CLIP")
         self.device_aug = (
-            {"views": views} if train_cfg.get("device_aug", False) else None
+            {"views": views, "preset": aug_type}
+            if train_cfg.get("device_aug", False) else None
         )
         self.test_cfgs: List[Dict] = list(dcfg.get("test") or [])
         if isinstance(self.test_cfgs, dict):
@@ -220,6 +223,8 @@ class Solver:
             self.train_dataset, sampler, self.host_batch,
             eda=eda, text_mask_type=mlm,
             num_workers=int(self.train_cfg.get("num_workers", 4)),
+            seed=int(self.config.get_path("seed", 0)),
+            start_batch_idx=last_iter + 1,
         )
 
     # ------------------------------------------------------------ optimizer

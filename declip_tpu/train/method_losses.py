@@ -262,6 +262,9 @@ def defilip_losses(out, cfg, axis_name, *, nn_text=None, nn_text_aug=None,
             ]
             filip_loss = (filip_loss + sum(aug_terms)) / 4
 
-    total = total + filip_loss * w.get("filip", 0.0)
+    # reference adds the filip term only in the weight-type-None branch
+    # (defilip_solver.py:541-543)
+    if w.get("type") is None:
+        total = total + filip_loss * w.get("filip", 0.0)
     metrics.update({"loss": total, "filip_loss": filip_loss})
     return total, metrics

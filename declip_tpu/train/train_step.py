@@ -78,7 +78,10 @@ def logit_scale_guard(
             s_new, float(grad_clip["value"]), float(grad_clip["max_value"])
         )
     elif kind == "logit_scale_param_ema":
-        thr = float(grad_clip.get("threshold", 0.2))
+        # reference passes config.grad_clip.value as the threshold
+        # (declip_solver.py:387-388); 'threshold' kept as an alias
+        thr = float(grad_clip.get("threshold",
+                                  grad_clip.get("value", 0.2)))
         momentum = 0.9
         clipped = jnp.clip(s_new, buffer - thr, buffer + thr)
         count = count + jnp.any(clipped != s_new).astype(jnp.int32)
@@ -167,6 +170,7 @@ def make_train_step(
             batch["images"] = augment_views(
                 rng, batch["images"],
                 views=int(device_aug.get("views", 2)),
+                preset=str(device_aug.get("preset", "MOCOV2")),
                 dtype=getattr(model, "dtype", jnp.float32),
             )
         (_, (metrics, new_stats, out)), grads = jax.value_and_grad(

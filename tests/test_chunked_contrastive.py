@@ -42,3 +42,25 @@ def test_chunked_pair_loss_and_grads(rng):
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3,
                                    atol=1e-5)
+
+
+def test_chunked_ce_non_divisible(rng):
+    """Prime gathered size must still chunk (padding, not c->1 degradation)."""
+    a = jnp.asarray(rng.normal(size=(4, 8)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(23, 8)), jnp.float32)  # prime
+    scale = jnp.asarray(7.0)
+    labels = jnp.asarray(rng.integers(0, 23, size=(4,)))
+    dense = cross_entropy(similarity_logits(a, b, scale), labels)
+    ours = chunked_cross_entropy(a, b, scale, labels, chunk_size=8)
+    np.testing.assert_allclose(float(ours), float(dense), rtol=1e-5)
+
+
+def test_late_interaction_non_divisible(rng):
+    from declip_tpu.ops.filip_ops import late_interaction_logits
+
+    d1 = jnp.asarray(rng.normal(size=(3, 4, 8)), jnp.float32)
+    d2 = jnp.asarray(rng.normal(size=(7, 5, 8)), jnp.float32)  # prime
+    out = late_interaction_logits(d1, d2, jnp.asarray(1.5), chunk_size=3)
+    naive = 1.5 * np.einsum("bnd,lmd->blnm", np.asarray(d1),
+                            np.asarray(d2)).max(-1).mean(-1)
+    np.testing.assert_allclose(np.asarray(out), naive, rtol=1e-5)

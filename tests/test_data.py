@@ -132,3 +132,47 @@ def test_evaluator():
     m = ev.eval_arrays(scores, labels)
     assert m["top1"] == pytest.approx(100 * 2 / 3)
     assert m["n"] == 3
+
+
+def test_imagenet_fs_mode_attributes(tmp_path):
+    """Regression: ImageNetDataset must work outside synthetic mode (it was
+    missing server_cfg/image_reader_type and crashed on _meta/_load_image)."""
+    import numpy as np
+    from PIL import Image
+
+    from declip_tpu.data.dataset import ImageNetDataset
+    from declip_tpu.data import build_common_augmentation
+
+    img_path = tmp_path / "img.jpg"
+    Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (64, 64, 3), np.uint8)
+    ).save(img_path)
+    meta = tmp_path / "meta.txt"
+    meta.write_text("img.jpg 1\nimg.jpg 0\n")
+    ds = ImageNetDataset(str(tmp_path), str(meta),
+                         transform=build_common_augmentation("ONECROP"),
+                         read_from="fake")
+    item = ds[0]
+    assert item["image"].shape == (224, 224, 3)
+    assert item["label"] == 1
+
+
+def test_fake_cache_is_per_instance(tmp_path):
+    import numpy as np
+    from PIL import Image
+
+    from declip_tpu.data.dataset import ClipDataset
+
+    import json
+    for name, shade in (("a", 10), ("b", 240)):
+        Image.fromarray(np.full((32, 32, 3), shade, np.uint8)).save(
+            tmp_path / f"{name}.png")
+        (tmp_path / f"{name}.jsonl").write_text(
+            json.dumps({"filename": f"{name}.png", "caption": "x"}) + "\n")
+    ds_a = ClipDataset(str(tmp_path), str(tmp_path / "a.jsonl"),
+                       read_from="fake")
+    ds_b = ClipDataset(str(tmp_path), str(tmp_path / "b.jsonl"),
+                       read_from="fake")
+    img_a = np.asarray(ds_a[0]["image"])
+    img_b = np.asarray(ds_b[0]["image"])
+    assert img_a.mean() < 50 and img_b.mean() > 200
