@@ -118,17 +118,20 @@ class DECLIP(nn.Module):
                 self.predictor(z2t, train=train),
                 z2t,
             )
+        if self.return_simsiam_nn_text:
+            # computed HERE so model.init creates the head params and their
+            # BatchNorm stats update in the train forward (declip.py:311-314)
+            z_text = self.projector_nn_text(text_embed, train=train)
+            out["nn_simsiam_p_text"] = self.predictor_nn_text(
+                z_text, train=train)
         return out
 
-    def nn_text_simsiam(self, text_embed, text_embed_nn_list, *, train: bool = True):
-        """Projector/predictor over NN-bank text features (declip.py:311-316).
-
-        Called by the train step when ``return_simsiam_nn_text`` is on, with
-        the bank query results (a tuple of [B, D] arrays).
-        """
-        z_text = self.projector_nn_text(text_embed, train=train)
-        z_nn = [self.projector_nn_text(t, train=train) for t in text_embed_nn_list]
-        return self.predictor_nn_text(z_text, train=train), z_nn
+    def project_nn_text(self, feats):
+        """Projector over NN-bank query results (declip.py:313), applied by
+        the train step. Runs the projector's BatchNorm on running statistics
+        (train=False) so no mutable state is needed for bank features —
+        delta vs the reference, which lets bank features perturb BN stats."""
+        return self.projector_nn_text(feats, train=False)
 
 
 @MODELS.register

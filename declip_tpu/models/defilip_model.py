@@ -94,10 +94,9 @@ class DEFILIP(nn.Module):
         _, words = self.text(tokens, return_dense=True)
         return self.text_mapping(words)
 
-    def nn_text_simsiam(self, text_embed, text_embed_nn_list, *, train: bool = True):
-        z_text = self.projector_nn_text(text_embed, train=train)
-        z_nn = [self.projector_nn_text(t, train=train) for t in text_embed_nn_list]
-        return self.predictor_nn_text(z_text, train=train), z_nn
+    def project_nn_text(self, feats):
+        """See declip_model.project_nn_text."""
+        return self.projector_nn_text(feats, train=False)
 
     def __call__(self, batch: Dict[str, jax.Array], *, train: bool = True):
         images = batch["images"]
@@ -155,6 +154,10 @@ class DEFILIP(nn.Module):
                 self.predictor(z2t, train=train),
                 z2t,
             )
+        if self.return_simsiam_nn_text:
+            z_text = self.projector_nn_text(out["text_embed"], train=train)
+            out["nn_simsiam_p_text"] = self.predictor_nn_text(
+                z_text, train=train)
 
         if self.return_filip:
             # word features for the dense head: masked main text (the

@@ -31,7 +31,12 @@ _HF_WIDTHS = {
 
 class HFTextEncoder(nn.Module):
     """Wraps a Flax HF model + projection; consumes token ids produced by the
-    matching HF tokenizer in the data pipeline."""
+    matching HF tokenizer in the data pipeline.
+
+    IMPORTANT: ``model.init`` creates RANDOM backbone weights (flax modules
+    carry no state). Graft the pretrained weights into the initialized
+    variable tree with :func:`load_pretrained_variables` — the solver does
+    this automatically when the tower is an HFTextEncoder."""
 
     text_encode_type: str
     pretrained_path: str
@@ -45,17 +50,20 @@ class HFTextEncoder(nn.Module):
                 f"'{self.text_encode_type}' text tower needs local "
                 "pretrained files (zero-egress environments cannot download)."
             )
-        from transformers import FlaxAutoModel
+        from transformers import AutoConfig, FlaxAutoModel
 
-        self.backbone = FlaxAutoModel.from_pretrained(
-            self.pretrained_path, dtype=self.dtype
+        hf_config = AutoConfig.from_pretrained(self.pretrained_path)
+        self.backbone = FlaxAutoModel.from_config(
+            hf_config, dtype=self.dtype
         ).module
         self.text_projection = nn.Dense(self.embed_dim, dtype=self.dtype)
-        width = _HF_WIDTHS.get(self.text_encode_type, 768)
-        self.vocab_size = width  # overwritten by factory with tokenizer size
+        # real tokenizer vocab (MLM head sizing); pad id for masking
+        self.vocab_size = int(getattr(hf_config, "vocab_size", 30522))
+        self.pad_id = int(getattr(hf_config, "pad_token_id", 0) or 0)
 
     def __call__(self, tokens: jax.Array, *, return_dense: bool = False):
-        attn = (tokens != 0).astype(jnp.int32)
+        # pad id comes from the model config (Roberta pads with 1, not 0)
+        attn = (tokens != self.pad_id).astype(jnp.int32)
         out = self.backbone(input_ids=tokens, attention_mask=attn)
         words = out.last_hidden_state
         if self.text_encode_type.startswith(("Bert", "Roberta")):
@@ -67,6 +75,25 @@ class HFTextEncoder(nn.Module):
         if return_dense:
             return pooled, words
         return pooled
+
+
+def load_pretrained_variables(encoder: "HFTextEncoder", variables,
+                              subtree: str = "text"):
+    """Graft the pretrained HF weights into an initialized variable tree.
+
+    ``variables['params'][subtree]['backbone']`` (random from init) is
+    replaced with ``FlaxAutoModel.from_pretrained(...).params`` — the flax
+    equivalent of the reference's from_pretrained load
+    (text_transformer.py:46-107)."""
+    from transformers import FlaxAutoModel
+
+    hf = FlaxAutoModel.from_pretrained(encoder.pretrained_path)
+    params = dict(variables["params"])
+    sub = dict(params[subtree])
+    sub["backbone"] = hf.params if isinstance(hf.params, dict) else dict(
+        hf.params)
+    params[subtree] = sub
+    return {**variables, "params": params}
 
 
 def build_hf_text(text_encode_type: str, embed_dim: int,

@@ -137,7 +137,9 @@ def optim_entry(
     pconfig = pconfig if pconfig is not None else cfg.get("pconfig") or {}
 
     if kind in ("AdamW_SGD", "FP16AdamW_SGD"):
-        # text tower: AdamW; visual tower: SGD (AdamW_SGD.py:38-138)
+        # text tower: AdamW; visual tower: SGD (AdamW_SGD.py:38-138). The
+        # text group includes the MLM head and FILIP text mapping like the
+        # reference's text_modules() (declip.py:178-181, clip.py:75-85).
         text_kw = dict(kwargs.get("text_config") or {})
         visual_kw = dict(kwargs.get("visual_config") or {})
         text_lr = text_kw.pop("lr", kwargs.get("lr", 1e-4))
@@ -148,20 +150,38 @@ def optim_entry(
             return lambda step: schedule(step) * (lr / base_lr)
 
         labels = jax.tree.map(lambda _: "visual", params)
-        text_mask = path_prefix_mask(params, ("text",))
+        text_mask = path_prefix_mask(
+            params, ("text", "text_label_predictor", "text_mapping"))
         labels = jax.tree.map(
             lambda is_text, lab: "text" if is_text else lab, text_mask, labels
         )
-        tx = optax.multi_transform(
-            {
-                "text": _single_optimizer(
-                    "AdamW", text_kw, params, scaled(text_lr), pconfig, grad_clip
-                ),
-                "visual": _single_optimizer(
-                    "SGD", visual_kw, params, scaled(visual_lr), pconfig, grad_clip
-                ),
-            },
-            labels,
+        # whole-model grad clipping must happen ONCE before the split (the
+        # reference clips over all parameters, declip_solver.py:650);
+        # per-branch clipping would use partition-local norms
+        pre = []
+        branch_clip = grad_clip
+        if grad_clip and grad_clip.get("type") in ("norm", "value"):
+            if grad_clip["type"] == "norm":
+                pre.append(optax.clip_by_global_norm(
+                    float(grad_clip["value"])))
+            else:
+                pre.append(optax.clip(float(grad_clip["value"])))
+            branch_clip = None
+        tx = optax.chain(
+            *pre,
+            optax.multi_transform(
+                {
+                    "text": _single_optimizer(
+                        "AdamW", text_kw, params, scaled(text_lr), pconfig,
+                        branch_clip
+                    ),
+                    "visual": _single_optimizer(
+                        "SGD", visual_kw, params, scaled(visual_lr), pconfig,
+                        branch_clip
+                    ),
+                },
+                labels,
+            ),
         )
     else:
         tx = _single_optimizer(kind, kwargs, params, schedule, pconfig, grad_clip)

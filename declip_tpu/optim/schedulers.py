@@ -108,6 +108,10 @@ def scheduler_entry(cfg, *, max_iter: int, iters_per_epoch: int = 1) -> Schedule
     kind = cfg["type"]
     kwargs = dict(cfg.get("kwargs") or {})
     kwargs.setdefault("max_iter", max_iter)
+    if "warmup_epoch" in kwargs:
+        kwargs["warmup_steps"] = int(
+            kwargs.pop("warmup_epoch") * iters_per_epoch)
+    kwargs.setdefault("warmup_steps", 0)
     if kind == "StepEpoch":
         kind = "Step"
         kwargs["lr_steps"] = [

@@ -237,7 +237,10 @@ class Solver:
                                 "warmup_steps": 0}})
         self._sched_cfg = scfg
         self._warmup_decay = 1.0
-        self.schedule = scheduler_entry(scfg, max_iter=self.max_iter)
+        iters_per_epoch = max(
+            1, len(self.train_dataset) // max(self.global_batch, 1))
+        self.schedule = scheduler_entry(
+            scfg, max_iter=self.max_iter, iters_per_epoch=iters_per_epoch)
         self._opt_cfg = ocfg
 
     def _make_tx(self, params):
@@ -278,6 +281,12 @@ class Solver:
                 lambda: self.model.init(jax.random.PRNGKey(0), example,
                                         train=True)
             )()
+        from declip_tpu.models.hf_text import HFTextEncoder
+
+        if isinstance(getattr(self.model, "text", None), HFTextEncoder):
+            from declip_tpu.models.hf_text import load_pretrained_variables
+
+            variables = load_pretrained_variables(self.model.text, variables)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         self.tx = self._make_tx(params)
@@ -403,7 +412,8 @@ class Solver:
                     it = self._device_prefetch(iter(loader))
                     t_last = time.time()
                     continue
-                spike_window.update(loss)
+                if np.isfinite(loss):  # a NaN would poison the window avg
+                    spike_window.update(loss)
                 batch_time = time.time() - t_last
                 self.meters.update(
                     {**metrics, "batch_time": batch_time,
@@ -527,8 +537,12 @@ class Solver:
         self.schedule = scheduler_entry(scfg, max_iter=self.max_iter)
         template = jax.device_get(self.state)
         state = restore_checkpoint(target[1], template)
+        # keep the restored opt_state: it belongs to the good checkpoint
+        # (moments healthy) and carries the schedule count for that step.
+        # Re-initializing would silently replay the LR schedule from 0.
+        # (Delta vs reference, which reloads only model state and therefore
+        # must rebuild its optimizer, declip_solver.py:548-619.)
         self.tx = self._make_tx(state.params)
-        state = state.replace(opt_state=self.tx.init(state.params))
         self.state = jax.device_put(state, self._replicated())
         self.build_step()
         return True
@@ -714,7 +728,10 @@ class Solver:
         (filip_solver.py:839-960): mean over prompts of dense token features."""
         tok = get_tokenizer()
         prompts_num = len(label_texts) // n_class
-        encode = jax.jit(partial(self.model.apply, method="encode_text_dense"))
+        if not hasattr(self, "_jit_encode_text_dense"):
+            self._jit_encode_text_dense = jax.jit(
+                partial(self.model.apply, method="encode_text_dense"))
+        encode = self._jit_encode_text_dense
         out = []
         for c in range(n_class):
             ids = jnp.asarray(tok.tokenize(

@@ -40,15 +40,13 @@ def _pair(img, g_txt, txt, g_img, scale, labels):
 def clip_losses(out: Dict[str, Any], cfg: Dict, axis_name: Optional[str]
                 ) -> Tuple[jax.Array, Metrics]:
     """clip_solver.py:407-430: single symmetric InfoNCE."""
-    scale = out["logit_scale"]
-    img, txt = out["image_embed"], out["text_embed"]
-    g_img = gather_features(img, axis_name)
-    g_txt = gather_features(txt, axis_name)
-    labels = infonce_labels(img.shape[0], axis_name)
-    loss, logits_i = _pair(img, g_txt, txt, g_img, scale, labels)
+    from declip_tpu.ops.contrastive import clip_pair_loss
+
+    loss, logits_i, labels = clip_pair_loss(
+        out["image_embed"], out["text_embed"], out["logit_scale"], axis_name)
     top1, top5 = topk_accuracy(logits_i, labels)
     return loss, {"loss": loss, "clip_loss": loss, "top1": top1, "top5": top5,
-                  "logit_scale": scale}
+                  "logit_scale": out["logit_scale"]}
 
 
 def slip_losses(out, cfg, axis_name) -> Tuple[jax.Array, Metrics]:

@@ -131,15 +131,14 @@ def make_train_step(
             nn_aug = tuple(l2_normalize(t, eps=1e-10) for t in nn_aug)
             nn_kwargs = {"nn_text": nn, "nn_text_aug": nn_aug}
             if use_nn_simsiam:
-                p_text, z_nn = model.apply(
-                    variables,
-                    out["text_embed"],
-                    list(nn),
-                    train=True,
-                    method="nn_text_simsiam",
-                    mutable=False,
-                )
-                nn_kwargs["nn_simsiam"] = (p_text, z_nn)
+                # p_text comes from the main forward (params/BN stats created
+                # there); the bank features go through the projector on
+                # running statistics (declip_model.project_nn_text)
+                z_nn = [
+                    model.apply(variables, t, method="project_nn_text")
+                    for t in nn
+                ]
+                nn_kwargs["nn_simsiam"] = (out["nn_simsiam_p_text"], z_nn)
 
         if method == "clip":
             total, metrics = method_losses.clip_losses(out, cfg, axis_name)

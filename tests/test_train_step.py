@@ -178,3 +178,24 @@ def test_spmd_matches_single_device():
     l8 = jax.tree.leaves(s8.params)
     for a, b in zip(l1, l8):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_declip_nn_simsiam_feature():
+    """Regression: return_simsiam_nn_text used to crash at init (head params
+    were never created) — now the full step must run."""
+    model = tiny_model(
+        "declip_vitb32",
+        {"use_allgather": True, "text_mask_type": "MLM",
+         "return_nn_bank": True, "return_simsiam_nn_text": True,
+         "feature_dim": 32},
+    )
+    cfg = parse_config("""
+clip_simsiam_loss_weight: {clip_loss: 0.4, nn_text: 0.2, simsiam_loss: 0.2, masking_language: 0.2, nn_simsiam_loss: 0.1}
+data: {train: {image_text_two_view: True}}
+""")
+    batch = make_batch(8, views=2, mlm=True, aug=True)
+    state, tx, sched = build_state(model, batch, cfg, use_bank=True)
+    assert "projector_nn_text" in state.params
+    step = jax.jit(make_train_step(model, tx, cfg, sched, total_steps=10))
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
