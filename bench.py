@@ -123,6 +123,19 @@ grad_clip: {type: logit_scale_param_value, value: 3, max_value: 6}
         params=params, batch_stats=variables.get("batch_stats", {}),
         opt_state=tx.init(params), bank_text=bank,
     )
+    if n_chips > 1:
+        # shard the batch over the data axis, replicate state — without this
+        # everything lands on chip 0 (and pairs/sec/chip is divided by
+        # n_chips against a single chip's work)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from declip_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+        state = jax.device_put(state, NamedSharding(mesh, P()))
+        batch = jax.tree.map(
+            lambda x: jax.device_put(x, NamedSharding(mesh, P("data"))),
+            batch)
     step = jax.jit(
         make_train_step(model, tx, cfg, sched, total_steps=10000),
         donate_argnums=(0,),
@@ -182,7 +195,9 @@ def run_e2e(per_chip_batch: int, steps: int = 30, workers: int = 16,
                    "text_encode": {"embed_dim": 512},
                    "clip": {"use_allgather": True}, "dtype": "bfloat16"},
     })
-    example = next(iter(loader))
+    # build the init example directly (a throwaway iter(loader) would spin
+    # up the 16-worker pool and prebuild ~20 full batches just to discard them)
+    example = loader._build_batch(list(range(b)), 0)
     batch0 = {k: jnp.asarray(v) for k, v in example.items()
               if isinstance(v, np.ndarray)}
     if device_aug:

@@ -26,14 +26,15 @@ def broadcast_object(obj: Any, root: int = 0) -> Any:
         return obj
     from jax.experimental import multihost_utils
 
-    payload = pickle.dumps(obj) if jax.process_index() == root else b""
+    is_src = jax.process_index() == root
+    payload = pickle.dumps(obj) if is_src else b""
     # length-prefix to a fixed buffer: first broadcast the size, then bytes
     size = np.asarray([len(payload)], np.int64)
-    size = multihost_utils.broadcast_one_to_all(size)
+    size = multihost_utils.broadcast_one_to_all(size, is_source=is_src)
     buf = np.zeros(int(size[0]), np.uint8)
-    if jax.process_index() == root:
+    if is_src:
         buf[:] = np.frombuffer(payload, np.uint8)
-    buf = multihost_utils.broadcast_one_to_all(buf)
+    buf = multihost_utils.broadcast_one_to_all(buf, is_source=is_src)
     return pickle.loads(buf.tobytes())
 
 

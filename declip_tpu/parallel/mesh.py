@@ -56,7 +56,11 @@ def maybe_initialize_distributed() -> None:
     global _dist_initialized
     if _dist_initialized:
         return
-    if "COORDINATOR_ADDRESS" in os.environ or \
-            "JAX_COORDINATOR_ADDRESS" in os.environ:
+    slurm_nodes = int(os.environ.get("SLURM_JOB_NUM_NODES", "1") or 1)
+    if ("COORDINATOR_ADDRESS" in os.environ
+            or "JAX_COORDINATOR_ADDRESS" in os.environ
+            or slurm_nodes > 1):
+        # jax.distributed autodetects SLURM/TPU-pod cluster environments
+        # (the analogue of linklink's SLURM_NODELIST parsing)
         jax.distributed.initialize()
         _dist_initialized = True

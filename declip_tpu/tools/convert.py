@@ -73,10 +73,12 @@ def variables_to_torch_state(variables) -> dict:
                 for i in range(arr.shape[0]):
                     a = arr[i]
                     k = f"{base}.{i}.{tail}"
-                    k = k.replace(".qkv.kernel", ".attn.in_proj_weight")
-                    k = k.replace(".qkv.bias", ".attn.in_proj_bias")
-                    k = k.replace(".out.kernel", ".attn.out_proj.weight")
-                    k = k.replace(".out.bias", ".attn.out_proj.bias")
+                    # flax path is attn.qkv/attn.out — replace the full
+                    # segment so we don't emit doubled 'attn.attn.*' keys
+                    k = k.replace(".attn.qkv.kernel", ".attn.in_proj_weight")
+                    k = k.replace(".attn.qkv.bias", ".attn.in_proj_bias")
+                    k = k.replace(".attn.out.kernel", ".attn.out_proj.weight")
+                    k = k.replace(".attn.out.bias", ".attn.out_proj.bias")
                     if k.endswith("kernel"):
                         emit(k.replace(".kernel", ".weight"),
                              a.T if a.ndim == 2 else a)
@@ -107,13 +109,6 @@ def main(argv=None):
     ap.add_argument("--config", required=True)
     ap.add_argument("--out", required=True)
     args = ap.parse_args(argv)
-
-    from declip_tpu.config import parse_config
-    from declip_tpu.models import model_entry
-
-    cfg = parse_config(args.config)
-    model = model_entry(
-        {"type": cfg.model.type, "kwargs": dict(cfg.model.kwargs)})
 
     if args.from_pth:
         import flax.serialization as ser

@@ -23,11 +23,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from declip_tpu.config import parse_config
 from declip_tpu.data.transforms import build_common_augmentation
 from declip_tpu.data.dataset import pil_loader
-from declip_tpu.solver import Solver
 from declip_tpu.tokenizer import get_tokenizer
+from declip_tpu.tools._common import load_eval_model
 
 
 def main(argv=None):
@@ -40,8 +39,9 @@ def main(argv=None):
     ap.add_argument("--saliency", action="store_true")
     args = ap.parse_args(argv)
 
-    solver = Solver(parse_config(args.config))
-    params = solver.state.params
+    model, variables = load_eval_model(args.config)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
     classes = [c.strip() for c in args.classes.split(",")]
 
     # prompt-ensemble class embeddings (same protocol as zero-shot eval)
@@ -50,9 +50,9 @@ def main(argv=None):
     for c in classes:
         texts.extend([f"a photo of a {c}.", f"a photo of the {c}."])
     per = len(texts) // len(classes)
-    emb = solver.model.apply(
-        {"params": params}, jnp.asarray(tok.tokenize(texts)),
-        method="encode_text")
+    emb = jax.jit(lambda t: model.apply(
+        {"params": params}, t, method="encode_text"))(
+        jnp.asarray(tok.tokenize(texts)))
     emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
     class_emb = emb.reshape(len(classes), per, -1).mean(axis=1)
     class_emb = class_emb / jnp.linalg.norm(class_emb, axis=-1, keepdims=True)
@@ -64,14 +64,18 @@ def main(argv=None):
     )
 
     def encode(params, img):
-        variables = {"params": params}
-        if solver.state.batch_stats:
-            variables["batch_stats"] = solver.state.batch_stats
-        e = solver.model.apply(variables, img, train=False,
-                               method="encode_image")
+        v = {"params": params}
+        if batch_stats:
+            v["batch_stats"] = batch_stats
+        e = model.apply(v, img, train=False, method="encode_image")
         return e / jnp.linalg.norm(e, axis=-1, keepdims=True)
 
     encode_j = jax.jit(encode)
+    # saliency: one jitted grad fn reused for every image (class selected
+    # via one-hot weighting, not a per-image python closure)
+    saliency_j = jax.jit(jax.grad(
+        lambda im, onehot: ((encode(params, im) @ class_emb.T)[0] * onehot
+                            ).sum()))
 
     with open(args.out, "w") as f:
         for path in paths:
@@ -89,9 +93,8 @@ def main(argv=None):
             if args.saliency:
                 # gradient of the top-class similarity wrt input pixels
                 top = int(probs.argmax())
-                g = jax.grad(
-                    lambda im: (encode(params, im) @ class_emb.T)[0, top]
-                )(jnp.asarray(img))
+                onehot = jnp.zeros((len(classes),)).at[top].set(1.0)
+                g = saliency_j(jnp.asarray(img), onehot)
                 sal = np.abs(np.asarray(g))[0].max(-1)
                 sal_path = path + ".saliency.npy"
                 np.save(sal_path, sal)

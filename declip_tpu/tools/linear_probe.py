@@ -22,18 +22,14 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from declip_tpu.config import parse_config
 from declip_tpu.data.dataset import ImageNetDataset
 from declip_tpu.data.transforms import build_common_augmentation
-from declip_tpu.solver import Solver
+from declip_tpu.tools._common import load_eval_model
 
 
-def embed_dataset(solver, dataset, batch_size: int = 128):
-    params = solver.state.params
-    encode = jax.jit(lambda imgs: solver.model.apply(
-        {"params": params, **({"batch_stats": solver.state.batch_stats}
-                              if solver.state.batch_stats else {})},
-        imgs, train=False, method="encode_image"))
+def embed_dataset(model, variables, dataset, batch_size: int = 128):
+    encode = jax.jit(lambda imgs: model.apply(
+        variables, imgs, train=False, method="encode_image"))
     feats, labels = [], []
     n = len(dataset)
     for beg in range(0, n, batch_size):
@@ -70,10 +66,13 @@ def train_probe(train_x, train_y, val_x, val_y, *, epochs=10, lr=1e-3,
 
     rng = np.random.default_rng(seed)
     n = train_x.shape[0]
+    batch_size = min(batch_size, n)  # small probes must still take steps
     for epoch in range(epochs):
         order = rng.permutation(n)
-        for beg in range(0, n - batch_size + 1, batch_size):
+        for beg in range(0, n, batch_size):
             idx = order[beg:beg + batch_size]
+            if len(idx) < batch_size:  # pad tail to the jitted shape
+                idx = np.concatenate([idx, order[:batch_size - len(idx)]])
             params, opt, loss = step(
                 params, opt, jnp.asarray(train_x[idx]),
                 jnp.asarray(train_y[idx]))
@@ -93,14 +92,14 @@ def main(argv=None):
     ap.add_argument("--epochs", type=int, default=10)
     args = ap.parse_args(argv)
 
-    solver = Solver(parse_config(args.config))
+    model, variables = load_eval_model(args.config)
     aug = build_common_augmentation("ONECROP")
     train_ds = ImageNetDataset(args.root, args.meta, transform=aug,
                                read_from=args.read_from)
     val_ds = ImageNetDataset(args.root, args.val_meta, transform=aug,
                              read_from=args.read_from)
-    tx_x, tx_y = embed_dataset(solver, train_ds)
-    vx, vy = embed_dataset(solver, val_ds)
+    tx_x, tx_y = embed_dataset(model, variables, train_ds)
+    vx, vy = embed_dataset(model, variables, val_ds)
     _, top1 = train_probe(tx_x, tx_y, vx, vy, epochs=args.epochs)
     print(json.dumps({"linear_probe_top1": round(top1, 2),
                       "n_train": len(tx_y), "n_val": len(vy)}))

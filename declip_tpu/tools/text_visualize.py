@@ -16,9 +16,8 @@ import json
 import jax.numpy as jnp
 import numpy as np
 
-from declip_tpu.config import parse_config
-from declip_tpu.solver import Solver
 from declip_tpu.tokenizer import get_tokenizer
+from declip_tpu.tools._common import load_eval_model
 
 
 def pca_2d(x: np.ndarray) -> np.ndarray:
@@ -34,12 +33,14 @@ def main(argv=None):
     ap.add_argument("--out", default="text_viz.json")
     args = ap.parse_args(argv)
 
-    solver = Solver(parse_config(args.config))
+    import jax
+
+    model, variables = load_eval_model(args.config)
     texts = [t.strip() for t in args.texts.split(",")]
     tok = get_tokenizer()
-    emb = solver.model.apply(
-        {"params": solver.state.params}, jnp.asarray(tok.tokenize(texts)),
-        method="encode_text")
+    emb = jax.jit(lambda t: model.apply(
+        {"params": variables["params"]}, t, method="encode_text"))(
+        jnp.asarray(tok.tokenize(texts)))
     emb = np.asarray(emb / jnp.linalg.norm(emb, axis=-1, keepdims=True))
 
     coords = pca_2d(emb)

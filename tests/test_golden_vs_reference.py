@@ -165,3 +165,45 @@ def test_full_clip_vit_matches(bpe_path):
     )
     np.testing.assert_allclose(ours_logits, logits_img.numpy(), rtol=2e-3,
                                atol=2e-4)
+
+
+def test_export_loads_into_reference_model(bpe_path, tmp_path):
+    """Our exported torch state_dict must load into the actual reference
+    torch model with strict=True (key names AND shapes)."""
+    import torch
+    from prototype.model.clip import clip_vitb32 as ref_clip
+
+    from declip_tpu.models import model_entry
+    from declip_tpu.tools.convert import variables_to_torch_state
+
+    ours = model_entry({
+        "type": "clip_vitb32",
+        "kwargs": {
+            "image_encode": {"embed_dim": 32, "input_resolution": 64,
+                             "patch_size": 32, **TINY},
+            "text_encode": {"embed_dim": 32, "transformer_width": 64,
+                            "transformer_heads": 2, "transformer_layers": 2,
+                            "bpe_path": bpe_path},
+            "clip": {"use_allgather": False},
+        },
+    })
+    batch = {"images": jnp.zeros((1, 64, 64, 3)),
+             "tokens": jnp.ones((1, 77), jnp.int32)}
+    variables = jax.jit(
+        lambda: ours.init(jax.random.PRNGKey(0), batch, train=False))()
+    state = variables_to_torch_state(
+        {"params": jax.device_get(variables["params"])})
+
+    ref = ref_clip(
+        image_encode=dict(embed_dim=32, input_resolution=64, patch_size=32,
+                          **TINY),
+        text_encode=dict(embed_dim=32, transformer_width=64,
+                         transformer_heads=2, transformer_layers=2,
+                         text_encode_type="Transformer", bpe_path=bpe_path,
+                         text_model_utils={"random": False, "freeze": False}),
+        clip=dict(use_allgather=False),
+    )
+    missing, unexpected = ref.load_state_dict(
+        {k: v for k, v in state.items()}, strict=False)
+    assert not unexpected, f"unexpected keys: {unexpected[:8]}"
+    assert not missing, f"missing keys: {missing[:8]}"
