@@ -24,6 +24,7 @@ from typing import Any, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from declip_tpu.ops.attention import dot_product_attention, merge_heads, split_heads
 
@@ -31,7 +32,12 @@ Dtype = Any
 
 
 class BatchNorm(nn.Module):
-    """BatchNorm2d/1d with fp32 stats; optionally synced over a mesh axis."""
+    """BatchNorm2d/1d with fp32 stats; optionally synced over a mesh axis.
+
+    Grouped statistics (the reference's grouped SyncBN, bn_group_size,
+    modified_resnet.py:121-142) are computed manually via an axis all-gather
+    + static group mask: jax does not lower ``pmean`` with
+    ``axis_index_groups`` under shard_map."""
 
     dtype: Dtype = jnp.float32
     zero_scale: bool = False
@@ -40,6 +46,9 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
+        if (self.axis_name is not None and self.axis_index_groups is not None
+                and train):
+            return self._grouped(x.astype(jnp.float32)).astype(self.dtype)
         y = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
@@ -50,9 +59,70 @@ class BatchNorm(nn.Module):
                 nn.initializers.zeros if self.zero_scale else nn.initializers.ones
             ),
             axis_name=self.axis_name,
-            axis_index_groups=self.axis_index_groups,
         )(x.astype(jnp.float32))
         return y.astype(self.dtype)
+
+    def _grouped(self, x: jax.Array) -> jax.Array:
+        """Normalize with statistics pooled over this device's rank group
+        (all-gather of per-rank moment sums + static group-membership mask).
+        Running statistics are updated with the GLOBAL moments so they stay
+        replica-consistent (delta: the reference keeps per-group running
+        stats per rank)."""
+        c = x.shape[-1]
+        reduce_axes = tuple(range(x.ndim - 1))
+        local_sum = x.sum(axis=reduce_axes)
+        local_sq = (x * x).sum(axis=reduce_axes)
+        local_n = float(np.prod([x.shape[a] for a in reduce_axes]))
+
+        sums = jax.lax.all_gather(local_sum, self.axis_name)  # [W, C]
+        sqs = jax.lax.all_gather(local_sq, self.axis_name)
+        w = sums.shape[0]
+        idx = jax.lax.axis_index(self.axis_name)
+        rank_to_group = np.zeros((w,), np.int32)
+        member = np.zeros((len(self.axis_index_groups), w), np.float32)
+        for g, ranks in enumerate(self.axis_index_groups):
+            member[g, list(ranks)] = 1.0
+            rank_to_group[list(ranks)] = g
+        row = jnp.asarray(member)[jnp.asarray(rank_to_group)[idx]]  # [W]
+
+        gsum = (row[:, None] * sums).sum(0)
+        gsq = (row[:, None] * sqs).sum(0)
+        gn = row.sum() * local_n
+        mean = gsum / gn
+        var = jnp.maximum(gsq / gn - mean * mean, 0.0)
+
+        return _GroupedScaleBias(
+            zero_scale=self.zero_scale, name="BatchNorm_0"
+        )(x, mean, var,
+          global_mean=sums.sum(0) / (w * local_n),
+          global_var=jnp.maximum(
+              sqs.sum(0) / (w * local_n)
+              - (sums.sum(0) / (w * local_n)) ** 2, 0.0))
+
+
+class _GroupedScaleBias(nn.Module):
+    """scale/bias + running stats with the standard flax BatchNorm variable
+    layout, applied around externally-computed group statistics."""
+
+    zero_scale: bool = False
+
+    @nn.compact
+    def __call__(self, x, mean, var, *, global_mean, global_var):
+        c = x.shape[-1]
+        scale = self.param(
+            "scale",
+            nn.initializers.zeros if self.zero_scale else nn.initializers.ones,
+            (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32))
+        if not self.is_initializing():
+            ra_mean.value = 0.9 * ra_mean.value + 0.1 * global_mean
+            ra_var.value = 0.9 * ra_var.value + 0.1 * global_var
+        xhat = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+        return xhat * scale + bias
 
 
 def _conv(features: int, kernel: int, name: str, dtype: Dtype):
