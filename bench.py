@@ -30,6 +30,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 # public A100 throughput anchors (pairs/sec/GPU)
 A100_BASELINE = {
     "clip_vitb32": 1000.0,
+    "clip_vitb16": 280.0,  # ~3.6x the B/32 FLOPs (197 vs 50 patch tokens)
     "declip_res50": 300.0,  # DeCLIP R50: 2 image views + 2 text towers + heads
 }
 
@@ -48,9 +49,9 @@ def build(model_name: str, per_chip_batch: int, remat: bool):
     b = per_chip_batch * n_chips
     rng = np.random.default_rng(0)
 
-    if model_name == "clip_vitb32":
+    if model_name in ("clip_vitb32", "clip_vitb16"):
         model = model_entry({
-            "type": "clip_vitb32",
+            "type": model_name,
             "kwargs": {
                 "image_encode": {"embed_dim": 512, "input_resolution": 224,
                                  "checkpoint": remat},
@@ -272,10 +273,11 @@ def main():
         }))
         return
 
-    batch = args.batch or {"clip_vitb32": 128, "declip_res50": 128}[args.model]
+    batch = args.batch or {"clip_vitb32": 128, "clip_vitb16": 64,
+                           "declip_res50": 128}[args.model]
     pairs = run(args.model, batch, args.remat)
-    label = {"clip_vitb32": "CLIP ViT-B/32", "declip_res50": "DeCLIP-R50"}[
-        args.model]
+    label = {"clip_vitb32": "CLIP ViT-B/32", "clip_vitb16": "CLIP ViT-B/16",
+             "declip_res50": "DeCLIP-R50"}[args.model]
     print(json.dumps({
         "metric": f"image-text pairs/sec/chip ({label} train, bf16)",
         "value": round(pairs, 1),
