@@ -40,26 +40,30 @@ def save_checkpoint(ckpt_dir: str, state, *, save_many: bool = False,
     with open(tmp, "wb") as f:
         f.write(blob)
     os.replace(tmp, path)
-    with open(os.path.join(ckpt_dir, "ckpt_meta.json"), "w") as f:
+    meta_path = os.path.join(ckpt_dir, "ckpt_meta.json")
+    with open(meta_path + ".tmp", "w") as f:
         json.dump({"last_iter": step, "path": path}, f)
+    os.replace(meta_path + ".tmp", meta_path)
     if k_times_dir is not None:
         os.makedirs(k_times_dir, exist_ok=True)
-        with open(os.path.join(k_times_dir, f"ckpt_{step}.msgpack"), "wb") as f:
+        k_path = os.path.join(k_times_dir, f"ckpt_{step}.msgpack")
+        with open(k_path + ".tmp", "wb") as f:
             f.write(blob)
+        os.replace(k_path + ".tmp", k_path)  # archival copy must be atomic
     return path
 
 
 def find_last_checkpoint(ckpt_dir: str) -> Optional[str]:
-    """ckpt.msgpack or the highest ckpt_<iter>.msgpack
-    (clip_solver.py:167-176)."""
+    """The NEWEST checkpoint among ckpt.msgpack and ckpt_<iter>.msgpack
+    (clip_solver.py:167-176). Chosen by mtime so a stale plain file (from a
+    save_many: False phase) never shadows newer step-named saves."""
+    candidates = []
     plain = os.path.join(ckpt_dir, "ckpt.msgpack")
     if os.path.exists(plain):
-        return plain
-    candidates = []
+        candidates.append((os.path.getmtime(plain), plain))
     for p in glob.glob(os.path.join(ckpt_dir, "ckpt_*.msgpack")):
-        m = CKPT_RE.search(p)
-        if m:
-            candidates.append((int(m.group(1)), p))
+        if CKPT_RE.search(p):
+            candidates.append((os.path.getmtime(p), p))
     if not candidates:
         return None
     return max(candidates)[1]

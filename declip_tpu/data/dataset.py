@@ -93,6 +93,7 @@ class ClipDataset:
         label_texts_ensemble: str = "none",
         evaluator=None,
         image_reader_type: str = "pil",
+        native_min_side: int = 512,
         server_cfg=None,
         seed: int = 0,
     ):
@@ -104,6 +105,7 @@ class ClipDataset:
         self.label_texts_ensemble = label_texts_ensemble
         self.evaluator = evaluator
         self.image_reader_type = image_reader_type
+        self.native_min_side = native_min_side
         self._fake_bytes: Optional[bytes] = None
         self._rng = random.Random(seed)
 
@@ -215,13 +217,16 @@ class ClipDataset:
             path = osp.join(self.roots[idx], meta["filename"])
         data = self._read_bytes(path)
         if self.image_reader_type == "native":
-            # C++ libjpeg decode (native/fastload.cc); PIL fallback for
-            # non-JPEG bytes
+            # C++ libjpeg decode (native/fastload.cc) with DCT prescale to
+            # ~2.3x the crop size (RandomResizedCrop scale>=0.2 keeps crops
+            # above the decode resolution); PIL fallback for non-JPEG bytes
             try:
                 from declip_tpu.data import native
 
                 if native.available():
-                    return Image.fromarray(native.decode_jpeg(data), "RGB")
+                    return Image.fromarray(
+                        native.decode_jpeg(
+                            data, min_side=self.native_min_side), "RGB")
             except Exception:
                 pass
         return pil_loader(data)
@@ -314,6 +319,7 @@ class ImageNetDataset(ClipDataset):
         self.label_texts_ensemble = label_texts_ensemble
         self.evaluator = evaluator
         self.image_reader_type = "pil"
+        self.native_min_side = 512
         self.server_cfg = None
         self._fake_bytes = None
         self._rng = random.Random(seed)

@@ -11,6 +11,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 from typing import Optional, Tuple
 
 import numpy as np
@@ -23,12 +24,21 @@ _SO_PATH = os.path.join(_NATIVE_DIR, "libfastload.so")
 
 _lib = None
 _tried = False
+_load_lock = threading.Lock()
 
 
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
+    with _load_lock:
+        if _lib is not None or _tried:  # raced with another loader thread
+            return _lib
+        return _load_locked()
+
+
+def _load_locked() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
     _tried = True
     if not os.path.exists(_SO_PATH):
         src = os.path.join(_NATIVE_DIR, "fastload.cc")
@@ -83,7 +93,7 @@ def scan_offsets(path: str) -> np.ndarray:
         return np.ctypeslib.as_array(out, shape=(n,)).copy() if n else \
             np.zeros((0,), np.int64)
     finally:
-        if n:
+        if out:  # guard on the pointer, not the count
             lib.fl_free(out)
 
 

@@ -58,6 +58,10 @@ int64_t fl_scan_offsets(const char* path, int64_t** out_offsets) {
   // first pass: count lines (non-empty starts)
   int64_t capacity = 1024;
   int64_t* offsets = static_cast<int64_t*>(malloc(capacity * sizeof(int64_t)));
+  if (offsets == nullptr) {
+    munmap(const_cast<char*>(data), size);
+    return -1;
+  }
   int64_t count = 0;
   size_t pos = 0;
   while (pos < size) {
@@ -65,8 +69,14 @@ int64_t fl_scan_offsets(const char* path, int64_t** out_offsets) {
     if (data[pos] != '\n') {
       if (count == capacity) {
         capacity *= 2;
-        offsets = static_cast<int64_t*>(
+        int64_t* grown = static_cast<int64_t*>(
             realloc(offsets, capacity * sizeof(int64_t)));
+        if (grown == nullptr) {
+          free(offsets);
+          munmap(const_cast<char*>(data), size);
+          return -1;
+        }
+        offsets = grown;
       }
       offsets[count++] = static_cast<int64_t>(pos);
     }
@@ -76,6 +86,10 @@ int64_t fl_scan_offsets(const char* path, int64_t** out_offsets) {
     pos = static_cast<size_t>(nl - data) + 1;
   }
   munmap(const_cast<char*>(data), size);
+  if (count == 0) {
+    free(offsets);
+    offsets = nullptr;
+  }
   *out_offsets = offsets;
   return count;
 }
@@ -127,9 +141,13 @@ int fl_jpeg_decode(const uint8_t* data, int64_t len, int min_side,
   FlJpegError jerr;
   cinfo.err = jpeg_std_error(&jerr.mgr);
   jerr.mgr.error_exit = fl_jpeg_error_exit;
-  uint8_t* buf = nullptr;
+  // volatile: modified between setjmp and longjmp (C99 7.13.2.1) — without
+  // it the error path would free indeterminate register-restored pointers
+  uint8_t* volatile buf = nullptr;
+  uint8_t* volatile row = nullptr;
   if (setjmp(jerr.jump)) {
     free(buf);
+    free(row);
     jpeg_destroy_decompress(&cinfo);
     return -1;
   }
@@ -154,9 +172,18 @@ int fl_jpeg_decode(const uint8_t* data, int64_t len, int min_side,
   int h = static_cast<int>(cinfo.output_height);
   int stride = w * static_cast<int>(cinfo.output_components);
   buf = static_cast<uint8_t*>(malloc(static_cast<size_t>(h) * w * 3));
+  if (buf == nullptr) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
   if (cinfo.output_components != 3) {
     // grayscale/CMYK: decode then expand — handle gray (1ch) inline
-    uint8_t* row = static_cast<uint8_t*>(malloc(static_cast<size_t>(stride)));
+    row = static_cast<uint8_t*>(malloc(static_cast<size_t>(stride)));
+    if (row == nullptr) {
+      free(buf);
+      jpeg_destroy_decompress(&cinfo);
+      return -1;
+    }
     while (cinfo.output_scanline < cinfo.output_height) {
       int y = static_cast<int>(cinfo.output_scanline);
       JSAMPROW rows[1] = {row};
@@ -168,6 +195,7 @@ int fl_jpeg_decode(const uint8_t* data, int64_t len, int min_side,
       }
     }
     free(row);
+    row = nullptr;
   } else {
     while (cinfo.output_scanline < cinfo.output_height) {
       JSAMPROW rows[1] = {
