@@ -64,7 +64,17 @@ class HFTextEncoder(nn.Module):
     def __call__(self, tokens: jax.Array, *, return_dense: bool = False):
         # pad id comes from the model config (Roberta pads with 1, not 0)
         attn = (tokens != self.pad_id).astype(jnp.int32)
-        out = self.backbone(input_ids=tokens, attention_mask=attn)
+        kwargs = dict(input_ids=tokens, attention_mask=attn)
+        # FlaxGPT2Module (unlike Bert/Roberta) has no default position_ids
+        import inspect
+
+        sig = inspect.signature(type(self.backbone).__call__).parameters
+        if "position_ids" in sig and sig["position_ids"].default is \
+                inspect.Parameter.empty:
+            b, length = tokens.shape
+            kwargs["position_ids"] = jnp.broadcast_to(
+                jnp.arange(length), (b, length))
+        out = self.backbone(**kwargs)
         words = out.last_hidden_state
         if self.text_encode_type.startswith(("Bert", "Roberta")):
             pooled = words[:, 0, :]
@@ -88,11 +98,18 @@ def load_pretrained_variables(encoder: "HFTextEncoder", variables,
     from transformers import FlaxAutoModel
 
     hf = FlaxAutoModel.from_pretrained(encoder.pretrained_path)
+    weights = hf.params if isinstance(hf.params, dict) else dict(hf.params)
     params = dict(variables["params"])
-    sub = dict(params[subtree])
-    sub["backbone"] = hf.params if isinstance(hf.params, dict) else dict(
-        hf.params)
-    params[subtree] = sub
+    if subtree in params:  # tower nested inside a full CLIP model
+        sub = dict(params[subtree])
+        sub["backbone"] = weights
+        params[subtree] = sub
+    elif "backbone" in params:  # standalone HFTextEncoder variables
+        params["backbone"] = weights
+    else:
+        raise KeyError(
+            f"no '{subtree}' subtree or top-level 'backbone' in params "
+            f"(keys: {sorted(params)})")
     return {**variables, "params": params}
 
 
