@@ -96,6 +96,56 @@ def restore_checkpoint(path: str, target):
     return serialization.from_bytes(target, blob)
 
 
+def _graft(dst, src, ignore, prefix, unmatched):
+    """Copy leaves from src into the dst template where the path exists and
+    the shape matches (strict=False load, misc.py:441-455); record everything
+    else in ``unmatched`` and keep dst's freshly-initialized value."""
+    import jax.numpy as jnp
+
+    if not isinstance(dst, dict):
+        key = "/".join(prefix)
+        if any(key.startswith(ig) for ig in ignore):
+            return dst
+        if src is None or isinstance(src, dict) or \
+                np.shape(src) != np.shape(dst):
+            unmatched.append(key)
+            return dst
+        return jnp.asarray(src, dtype=getattr(dst, "dtype", None))
+    out = {}
+    for k, v in dst.items():
+        sub = src.get(k) if isinstance(src, dict) else None
+        out[k] = _graft(v, sub, ignore, prefix + (k,), unmatched)
+    return out
+
+
+def load_pretrain(path: str, state, ignore=()):
+    """Load MODEL weights only (params + batch_stats) from a checkpoint into
+    a fresh TrainState, keeping the new optimizer state / step / EMA.
+
+    The TPU equivalent of the reference's pretrain flow: ``modify_state``
+    drops optimizer/ema/last_iter and named keys (misc.py:466-479), then
+    ``load_state_model`` grafts strict=False (clip_solver.py:140-163).
+    ``ignore``: param-path prefixes (e.g. ``"text"``) kept at their fresh
+    initialization. Accepts our msgpack states or reference ``.pth(.tar)``
+    files (converted via convert_pth). Returns ``(state, unmatched_keys)``.
+    """
+    if path.endswith((".pth", ".pth.tar", ".pt")):
+        from declip_tpu.convert_pth import load_pth
+
+        raw = load_pth(path)
+    else:
+        with open(path, "rb") as f:
+            raw = serialization.msgpack_restore(f.read())
+    unmatched: list = []
+    params = _graft(jax.device_get(state.params), raw.get("params") or {},
+                    tuple(ignore), (), unmatched)
+    stats = state.batch_stats
+    if stats is not None:
+        stats = _graft(jax.device_get(stats), raw.get("batch_stats") or {},
+                       tuple(ignore), (), unmatched)
+    return state.replace(params=params, batch_stats=stats), unmatched
+
+
 # --------------------------------------------------------------------------
 # Orbax backend (optional): async, multi-host-aware, sharded saves for
 # production-scale runs. The msgpack path above remains the default (single

@@ -108,6 +108,43 @@ class DistributedEpochSampler:
         return self.total_size
 
 
+class RankedGivenIterationSampler:
+    """Per-rank-LOCAL index stream for ClipDatasetRanked (sampler.py:171-227):
+    the dataset is already sharded across ranks at load time, so this sampler
+    cycles a single shuffled permutation of the local indices for
+    total_iter x batch_size draws (no reshuffle between passes) and resumes
+    by fast-forwarding last_iter x batch_size positions. Delta: the reference
+    draws its shuffle from the global numpy RNG; here a seed makes resume
+    deterministic without relying on ambient RNG state."""
+
+    def __init__(self, dataset_size: int, total_iter: int, batch_size: int,
+                 last_iter: int = -1, seed: int = 0, shuffle: bool = True,
+                 **_unused):
+        self.dataset_size = dataset_size
+        self.total_iter = total_iter
+        self.batch_size = batch_size
+        self.last_iter = last_iter
+        self.total_size = total_iter * batch_size
+        self.indices = np.arange(dataset_size)
+        if shuffle:
+            np.random.RandomState(seed).shuffle(self.indices)
+
+    def __iter__(self) -> Iterator[int]:
+        start = (self.last_iter + 1) * self.batch_size
+        for i in range(start, self.total_size):
+            yield int(self.indices[i % self.dataset_size])
+
+    def __len__(self) -> int:
+        return self.total_size
+
+
+@SAMPLERS.register(name="ranked_iteration")
+def _build_ranked_iter(**kw):
+    kw.pop("world_size", None)
+    kw.pop("rank", None)
+    return RankedGivenIterationSampler(**kw)
+
+
 @SAMPLERS.register(name="distributed_iteration")
 def _build_given_iter(**kw):
     return DistributedGivenIterationSampler(**kw)

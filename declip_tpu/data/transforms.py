@@ -205,6 +205,33 @@ class GaussianBlur:
         return img.filter(ImageFilter.GaussianBlur(radius=s))
 
 
+class Cutout:
+    """Randomly zero n_holes square patches (transforms.py:94-120). Runs on
+    the normalized float array at the end of a pipeline, so a zeroed pixel is
+    the dataset mean — same semantics as the reference's post-normalize
+    tensor masking."""
+
+    def __init__(self, n_holes: int = 2, length: int = 32, prob: float = 0.5,
+                 rng: Optional[random.Random] = None):
+        self.n_holes = n_holes
+        self.length = length
+        self.prob = prob
+        self.rng = rng or random
+
+    def __call__(self, arr: np.ndarray) -> np.ndarray:
+        if self.rng.random() >= self.prob:
+            return arr
+        arr = arr.copy()
+        h, w = arr.shape[:2]
+        half = self.length // 2
+        for _ in range(self.n_holes):
+            y = self.rng.randrange(h)
+            x = self.rng.randrange(w)
+            arr[max(0, y - half):min(h, y + half),
+                max(0, x - half):min(w, x + half)] = 0.0
+        return arr
+
+
 class MultiView:
     """Apply k transforms and concat channel-wise (HWC)."""
 

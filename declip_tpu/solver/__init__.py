@@ -341,6 +341,21 @@ class Solver:
                     self.start_step = int(state.step)
                     self.logger.info(
                         f"auto-resumed from {last} at step {self.start_step}")
+        # pretrain weights (model only, fresh optimizer/step) when nothing
+        # was resumed (clip_solver.py:140-163 + misc.py modify_state)
+        pretrain_path = self.config.get_path("saver.pretrain.path")
+        if self.start_step == 0 and pretrain_path:
+            from declip_tpu.checkpoint import load_pretrain
+
+            ignore = tuple(
+                self.config.get_path("saver.pretrain.ignore") or ())
+            state, unmatched = load_pretrain(
+                pretrain_path, state, ignore=ignore)
+            msg = f"loaded pretrain weights from {pretrain_path}"
+            if unmatched:
+                msg += (f" ({len(unmatched)} keys kept at init, e.g. "
+                        f"{unmatched[:5]})")
+            self.logger.info(msg)
         self.state = jax.device_put(state, self._replicated())
 
     def _feature_dim(self, params) -> int:
