@@ -227,10 +227,14 @@ class ModifiedResNet(nn.Module):
     bn_group_size: int = 1
     bn_sync_stats: bool = False
     use_sync_bn: bool = True
+    # modified_resnet_modified.py variant: attnpool emits the raw width*32
+    # feature and a separate fc projects to embed_dim (fc_embed=True)
+    fc_embed: bool = False
 
     @nn.compact
     def __call__(
-        self, x: jax.Array, *, train: bool = True, return_dense: bool = False
+        self, x: jax.Array, *, train: bool = True,
+        return_dense: bool = False, return_feature: bool = False,
     ):
         """x: [B, H, W, 3] NHWC -> [B, embed_dim]."""
         x = x.astype(self.dtype)
@@ -260,16 +264,25 @@ class ModifiedResNet(nn.Module):
 
         dense = x.reshape(x.shape[0], -1, x.shape[-1])  # [B, HW, C]
         if x.shape[1] == self.input_resolution // 32:
-            pooled = AttentionPool2d(
-                self.heads, self.embed_dim, dtype=self.dtype, name="attnpool"
+            pool_dim = w * 32 if self.fc_embed else self.embed_dim
+            feature = AttentionPool2d(
+                self.heads, pool_dim, dtype=self.dtype, name="attnpool"
             )(x)
+            pooled = nn.Dense(
+                self.embed_dim, dtype=self.dtype, name="fc"
+            )(feature) if self.fc_embed else feature
         else:
-            # non-224 eval path (modified_resnet.py:205-210)
-            pooled = x.mean(axis=(1, 2))
-            pooled = nn.Dense(self.embed_dim, dtype=self.dtype, name="fc")(pooled)
+            # non-224 eval path (modified_resnet.py:205-210); feature is the
+            # pre-fc pooled vector (modified_resnet_modified.py:206-210)
+            feature = x.mean(axis=(1, 2))
+            pooled = nn.Dense(self.embed_dim, dtype=self.dtype, name="fc")(
+                feature)
+        ret = [pooled]
         if return_dense:
-            return pooled, dense
-        return pooled
+            ret.append(dense)
+        if return_feature:
+            ret.append(feature)
+        return ret[0] if len(ret) == 1 else tuple(ret)
 
     def frozen_param_paths(self) -> Tuple[str, ...]:
         return ()

@@ -157,3 +157,27 @@ def test_vit_return_flags():
     assert out.shape == (2, 16)
     assert dense.shape == (2, 4, 32)
     assert feat.shape == (2, 32)
+
+
+def test_modified_resnet_fc_embed_variant():
+    """modified_resnet_modified.py:119-218: fc_embed routes attnpool to the
+    raw width*32 feature + separate fc; return_feature exposes the pre-fc
+    vector."""
+    from declip_tpu.models.resnet import ModifiedResNet
+
+    m = ModifiedResNet(layers=(1, 1, 1, 1), embed_dim=16, heads=4,
+                       input_resolution=64, width=8, fc_embed=True)
+    x = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    variables = m.init(jax.random.PRNGKey(0), x, train=False)
+    pooled, dense, feature = m.apply(
+        variables, x, train=False, return_dense=True, return_feature=True)
+    assert pooled.shape == (2, 16)
+    assert feature.shape == (2, 8 * 32)  # raw attnpool output, pre-fc
+    assert dense.shape == (2, 4, 8 * 32)
+    # default mode: attnpool projects straight to embed_dim, no fc
+    m2 = ModifiedResNet(layers=(1, 1, 1, 1), embed_dim=16, heads=4,
+                        input_resolution=64, width=8)
+    v2 = m2.init(jax.random.PRNGKey(0), x, train=False)
+    assert "fc" not in v2["params"]
+    out2, feat2 = m2.apply(v2, x, train=False, return_feature=True)
+    assert out2.shape == feat2.shape == (2, 16)
