@@ -104,7 +104,9 @@ def _graft(dst, src, ignore, prefix, unmatched):
 
     if not isinstance(dst, dict):
         key = "/".join(prefix)
-        if any(key.startswith(ig) for ig in ignore):
+        # component-boundary match: "text" ignores text/* but NOT
+        # text_label_predictor/*
+        if any(key == ig or key.startswith(ig + "/") for ig in ignore):
             return dst
         if src is None or isinstance(src, dict) or \
                 np.shape(src) != np.shape(dst):
