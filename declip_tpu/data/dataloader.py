@@ -158,33 +158,54 @@ def build_clip_dataloader(split_cfg: Dict, *, world_size: int = 1,
     DeCLIP extras (EDA/text_mask_type flow from the model config through the
     solver).
     """
-    from declip_tpu.data.dataset import ClipDataset
+    from declip_tpu.data.dataset import ClipDataset, ClipDatasetRanked
     from declip_tpu.data.sampler import (
         DistributedGivenIterationSampler,
+        RankedGivenIterationSampler,
         compute_total_iter,
     )
     from declip_tpu.data.transforms import build_common_augmentation
 
     aug = split_cfg.get("transforms", {}).get("type", "ONECROP")
-    dataset = ClipDataset(
+    image_reader = split_cfg.get("image_reader") or {}
+    # use_ranked switches to the rank-pre-sharded dataset + local sampler
+    # (clip_dataloader.py:86-90)
+    use_ranked = bool(split_cfg.get("use_ranked", False))
+    common = dict(
         root_dir=split_cfg.get("root_dir", ""),
         meta_file=split_cfg["meta_file"],
         transform=build_common_augmentation(aug),
         read_from=split_cfg.get("read_from", "fs"),
         fseek=split_cfg.get("fseek", False),
+        image_reader_type=image_reader.get("type", "pil"),
+        server_cfg=split_cfg.get("server_cfg") or None,
         label_texts_ensemble=split_cfg.get("label_texts_ensemble", "none"),
     )
+    if use_ranked:
+        dataset = ClipDatasetRanked(
+            world_size=world_size, rank=rank, **common)
+    else:
+        dataset = ClipDataset(**common)
     batch_size = int(split_cfg["batch_size"])
     if total_iter is None:
         total_iter = compute_total_iter(split_cfg, len(dataset), world_size)
-    sampler = DistributedGivenIterationSampler(
-        dataset_size=len(dataset),
-        total_iter=total_iter,
-        batch_size=batch_size,
-        world_size=world_size,
-        rank=rank,
-        last_iter=last_iter,
-    )
+    if use_ranked:
+        sampler = RankedGivenIterationSampler(
+            dataset_size=len(dataset),
+            total_iter=total_iter,
+            batch_size=batch_size,
+            last_iter=last_iter,
+            seed=int(split_cfg.get("seed", 0)) + rank,
+        )
+    else:
+        sampler = DistributedGivenIterationSampler(
+            dataset_size=len(dataset),
+            total_iter=total_iter,
+            batch_size=batch_size,
+            world_size=world_size,
+            rank=rank,
+            last_iter=last_iter,
+        )
     return ClipDataLoader(
         dataset,
         sampler,

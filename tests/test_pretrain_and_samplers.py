@@ -92,3 +92,23 @@ def test_cutout_zeroes_patches():
     # prob=0 is the identity
     out2 = Cutout(prob=0.0, rng=rng)(arr)
     np.testing.assert_array_equal(out2, arr)
+
+
+def test_build_clip_dataloader_ranked():
+    """use_ranked wires ClipDatasetRanked + the local sampler
+    (clip_dataloader.py:86-90)."""
+    from declip_tpu.data.dataloader import build_clip_dataloader
+    from declip_tpu.data.dataset import ClipDatasetRanked
+
+    cfg = {"meta_file": "64", "read_from": "synthetic", "batch_size": 4,
+           "use_ranked": True, "num_workers": 1}
+    loaders = [build_clip_dataloader(dict(cfg), world_size=4, rank=r,
+                                     total_iter=2) for r in (0, 1)]
+    for ld in loaders:
+        assert isinstance(ld.dataset, ClipDatasetRanked)
+        assert len(ld) == 2
+    b0 = next(iter(loaders[0]))
+    b1 = next(iter(loaders[1]))
+    assert b0["images"].shape == b1["images"].shape
+    # different ranks hold disjoint shards -> different content
+    assert not np.array_equal(b0["images"], b1["images"])
