@@ -178,6 +178,7 @@ def build_clip_dataloader(split_cfg: Dict, *, world_size: int = 1,
         read_from=split_cfg.get("read_from", "fs"),
         fseek=split_cfg.get("fseek", False),
         image_reader_type=image_reader.get("type", "pil"),
+        native_min_side=int(image_reader.get("min_side", 512)),
         server_cfg=split_cfg.get("server_cfg") or None,
         label_texts_ensemble=split_cfg.get("label_texts_ensemble", "none"),
     )

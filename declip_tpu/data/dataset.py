@@ -219,7 +219,11 @@ class ClipDataset:
         if self.image_reader_type == "native":
             # C++ libjpeg decode (native/fastload.cc) with DCT prescale to
             # ~2.3x the crop size (RandomResizedCrop scale>=0.2 keeps crops
-            # above the decode resolution); PIL fallback for non-JPEG bytes
+            # above the decode resolution). Caveat: PIXEL-based crops
+            # (RandomCropMinSize / STANDARD_CLIP) see a wider field of view
+            # on prescaled decodes — set native_min_side=0 (image_reader:
+            # {type: native, min_side: 0}) to decode at full resolution for
+            # those presets. PIL fallback for non-JPEG bytes
             try:
                 from declip_tpu.data import native
 
