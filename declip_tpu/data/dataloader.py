@@ -147,70 +147,100 @@ class ClipDataLoader:
                 yield out
 
 
-def build_clip_dataloader(split_cfg: Dict, *, world_size: int = 1,
-                          rank: int = 0, last_iter: int = -1,
-                          total_iter: Optional[int] = None,
-                          keep_raw: bool = False) -> ClipDataLoader:
-    """Config-driven builder mirroring prototype/data/clip_dataloader.py:66.
-
-    split_cfg carries the reference keys: batch_size, num_workers,
-    {root_dir, meta_file, read_from, fseek}, transforms {type}, and the
-    DeCLIP extras (EDA/text_mask_type flow from the model config through the
-    solver).
-    """
-    from declip_tpu.data.dataset import ClipDataset, ClipDatasetRanked
-    from declip_tpu.data.sampler import (
-        DistributedGivenIterationSampler,
-        RankedGivenIterationSampler,
-        compute_total_iter,
+def build_clip_dataset(split_cfg: Dict, *, world_size: int = 1, rank: int = 0,
+                       transform=None):
+    """Dataset half of prototype/data/clip_dataloader.py:66-120: transform
+    preset, image-reader selection, metadata-server mode, and the
+    ``use_ranked`` switch to the rank-pre-sharded dataset
+    (clip_dataloader.py:86-90)."""
+    from declip_tpu.data.dataset import (
+        ClipDataset,
+        ClipDatasetRanked,
+        ImageNetDataset,
     )
     from declip_tpu.data.transforms import build_common_augmentation
 
-    aug = split_cfg.get("transforms", {}).get("type", "ONECROP")
+    if transform is None:
+        aug = split_cfg.get("transforms", {}).get("type", "ONECROP")
+        transform = build_common_augmentation(aug)
     image_reader = split_cfg.get("image_reader") or {}
-    # use_ranked switches to the rank-pre-sharded dataset + local sampler
-    # (clip_dataloader.py:86-90)
-    use_ranked = bool(split_cfg.get("use_ranked", False))
+    read_from = split_cfg.get("read_from", "fs")
     common = dict(
         root_dir=split_cfg.get("root_dir", ""),
-        meta_file=split_cfg["meta_file"],
-        transform=build_common_augmentation(aug),
-        read_from=split_cfg.get("read_from", "fs"),
+        meta_file=split_cfg.get("meta_file", "1024"),
+        transform=transform,
+        read_from=read_from,
         fseek=split_cfg.get("fseek", False),
         image_reader_type=image_reader.get("type", "pil"),
         native_min_side=int(image_reader.get("min_side", 512)),
         server_cfg=split_cfg.get("server_cfg") or None,
         label_texts_ensemble=split_cfg.get("label_texts_ensemble", "none"),
     )
-    if use_ranked:
-        dataset = ClipDatasetRanked(
-            world_size=world_size, rank=rank, **common)
-    else:
-        dataset = ClipDataset(**common)
-    batch_size = int(split_cfg["batch_size"])
-    if total_iter is None:
-        total_iter = compute_total_iter(split_cfg, len(dataset), world_size)
-    if use_ranked:
-        sampler = RankedGivenIterationSampler(
-            dataset_size=len(dataset),
+    if split_cfg.get("type", "clip") == "imagenet" and read_from != "synthetic":
+        common.pop("server_cfg")
+        return ImageNetDataset(**common)
+    if split_cfg.get("use_ranked", False):
+        return ClipDatasetRanked(world_size=world_size, rank=rank, **common)
+    return ClipDataset(**common)
+
+
+def build_sampler(split_cfg: Dict, dataset_size: int, *, world_size: int = 1,
+                  rank: int = 0, last_iter: int = -1,
+                  total_iter: Optional[int] = None):
+    """Sampler half of the reference builder (sampler.py:237-266):
+    ``sampler.type`` dispatch through the SAMPLERS registry; ``use_ranked``
+    forces the local ranked sampler (clip_dataloader.py:88-90)."""
+    from declip_tpu.data.sampler import compute_total_iter
+    from declip_tpu.utils.registry import SAMPLERS
+
+    scfg = dict(split_cfg.get("sampler") or {})
+    stype = scfg.get("type", "distributed_iteration")
+    if split_cfg.get("use_ranked", False):
+        stype = "ranked_iteration"
+    if total_iter is None and stype != "distributed":
+        total_iter = compute_total_iter(split_cfg, dataset_size, world_size)
+    kwargs = dict(scfg.get("kwargs") or {})
+    kwargs.update(
+        dataset_size=dataset_size,
+        world_size=world_size,
+        rank=rank,
+    )
+    if stype != "distributed":
+        seed = int(split_cfg.get("seed", 0))
+        kwargs.update(
             total_iter=total_iter,
-            batch_size=batch_size,
+            batch_size=int(split_cfg["batch_size"]),
             last_iter=last_iter,
-            seed=int(split_cfg.get("seed", 0)) + rank,
+            seed=seed + rank if stype == "ranked_iteration" else seed,
         )
-    else:
-        sampler = DistributedGivenIterationSampler(
-            dataset_size=len(dataset),
-            total_iter=total_iter,
-            batch_size=batch_size,
-            world_size=world_size,
-            rank=rank,
-            last_iter=last_iter,
-        )
+    return SAMPLERS.get(stype)(**kwargs)
+
+
+def build_clip_dataloader(split_cfg: Dict, *, world_size: int = 1,
+                          rank: int = 0, last_iter: int = -1,
+                          total_iter: Optional[int] = None,
+                          keep_raw: bool = False,
+                          dataset=None, transform=None) -> ClipDataLoader:
+    """Config-driven builder mirroring prototype/data/clip_dataloader.py:66.
+
+    split_cfg carries the reference keys: batch_size, num_workers,
+    {root_dir, meta_file, read_from, fseek}, transforms {type},
+    image_reader {type, min_side}, server_cfg, use_ranked, sampler
+    {type, kwargs}, and the DeCLIP extras (eda/text_mask_type flow from the
+    model config through the solver). Pass ``dataset=`` to reuse an already
+    built dataset (the Solver rebuilds loaders on resume/rollback without
+    re-scanning metafiles) and ``transform=`` to override the preset (the
+    on-device-augmentation path swaps in geometry-only crops)."""
+    if dataset is None:
+        dataset = build_clip_dataset(
+            split_cfg, world_size=world_size, rank=rank, transform=transform)
+    sampler = build_sampler(
+        split_cfg, len(dataset), world_size=world_size, rank=rank,
+        last_iter=last_iter, total_iter=total_iter)
     return ClipDataLoader(
         dataset,
         sampler,
-        batch_size,
+        int(split_cfg["batch_size"]),
         eda=bool(split_cfg.get("eda", False)),
         text_mask_type=split_cfg.get("text_mask_type"),
         num_workers=int(split_cfg.get("num_workers", 4)),

@@ -316,33 +316,52 @@ class ImageNetDataset(ClipDataset):
 
     def __init__(self, root_dir, meta_file, transform=None, read_from="fs",
                  evaluator=None, label_texts_ensemble="none", seed=0,
-                 class_names: Optional[Sequence[str]] = None, **_):
+                 class_names: Optional[Sequence[str]] = None, fseek=False,
+                 image_reader_type="pil", native_min_side=512, **_):
         self.read_from = read_from
+        # the line-offset machinery is JSONL-specific; for the whitespace
+        # metafile the parsed metas are small, so fseek only skips keeping
+        # them resident — honored by parsing lazily below
         self.fseek = False
         self.transform = transform
         self.label_texts_ensemble = label_texts_ensemble
         self.evaluator = evaluator
-        self.image_reader_type = "pil"
-        self.native_min_side = 512
+        self.image_reader_type = image_reader_type
+        self.native_min_side = native_min_side
         self.server_cfg = None
         self._fake_bytes = None
         self._rng = random.Random(seed)
         self.roots = []
         self.metas = []
         self._offsets = []
+        self._class_names = class_names
+        self._imagenet_fseek = bool(fseek)
         with open(meta_file) as f:
             for line in f:
                 parts = line.strip().rsplit(maxsplit=1)
                 if not parts:
                     continue
                 filename, label = parts[0], int(parts[1])
-                meta = {"filename": filename, "label": label,
-                        "caption": "-"}
-                if class_names is not None:
-                    meta["label_name"] = class_names[label]
-                self.metas.append(meta)
+                if self._imagenet_fseek:
+                    # keep the two parsed fields, build the dict on demand
+                    self.metas.append((filename, label))
+                else:
+                    meta = {"filename": filename, "label": label,
+                            "caption": "-"}
+                    if class_names is not None:
+                        meta["label_name"] = class_names[label]
+                    self.metas.append(meta)
                 self.roots.append(root_dir)
         self.num = len(self.metas)
+
+    def _meta(self, idx: int) -> Dict:
+        if not self._imagenet_fseek:
+            return self.metas[idx]
+        filename, label = self.metas[idx]
+        meta = {"filename": filename, "label": label, "caption": "-"}
+        if self._class_names is not None:
+            meta["label_name"] = self._class_names[label]
+        return meta
 
     def __getitem__(self, idx):
         meta = self._meta(idx)

@@ -18,6 +18,49 @@ import numpy as np
 from declip_tpu.utils.registry import SAMPLERS
 
 
+class DistributedSampler:
+    """Plain epoch sampler (sampler.py:8-54): one seeded permutation of the
+    dataset per epoch, padded up to a multiple of world_size (round_up), each
+    rank taking a contiguous slab. ``set_epoch`` reseeds the permutation.
+
+    Delta: the reference permutes with torch.Generator; here numpy — the
+    contract is "deterministic given epoch", not a specific stream."""
+
+    def __init__(self, dataset_size: int, world_size: int = 1, rank: int = 0,
+                 round_up: bool = True, **_unused):
+        self.dataset_size = dataset_size
+        self.world_size = world_size
+        self.rank = rank
+        self.round_up = round_up
+        self.epoch = 0
+        self.num_samples = -(-dataset_size // world_size)
+        if round_up:
+            self.total_size = self.num_samples * self.world_size
+            self.length = self.num_samples
+        else:
+            self.total_size = dataset_size
+            self.length = (self.num_samples
+                           if rank < world_size - 1
+                           else self.total_size
+                           - (world_size - 1) * self.num_samples)
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __iter__(self) -> Iterator[int]:
+        rng = np.random.RandomState(self.epoch)
+        indices = rng.permutation(self.dataset_size)
+        if self.round_up:
+            pad = self.total_size - len(indices)
+            if pad:
+                indices = np.concatenate([indices, indices[:pad]])
+        beg = self.num_samples * self.rank
+        return iter(indices[beg:beg + self.num_samples].tolist())
+
+    def __len__(self) -> int:
+        return self.length
+
+
 class DistributedGivenIterationSampler:
     """Per-rank index stream for exactly ``total_iter`` steps
     (sampler.py:57-106)."""
@@ -136,6 +179,14 @@ class RankedGivenIterationSampler:
 
     def __len__(self) -> int:
         return self.total_size
+
+
+@SAMPLERS.register(name="distributed")
+def _build_distributed(**kw):
+    # iteration-sampler kwargs that don't apply to the plain epoch sampler
+    for k in ("total_iter", "batch_size", "last_iter", "seed"):
+        kw.pop(k, None)
+    return DistributedSampler(**kw)
 
 
 @SAMPLERS.register(name="ranked_iteration")

@@ -45,14 +45,13 @@ from declip_tpu.checkpoint import (
     save_checkpoint,
 )
 from declip_tpu.config import Cfg, parse_config
-from declip_tpu.data.dataloader import ClipDataLoader
-from declip_tpu.data.dataset import ClipDataset, ImageNetDataset
-from declip_tpu.data.evaluator import ImageNetEvaluator, Metric
-from declip_tpu.data.sampler import (
-    DistributedGivenIterationSampler,
-    compute_total_iter,
+from declip_tpu.data.dataloader import (
+    ClipDataLoader,
+    build_clip_dataloader,
+    build_clip_dataset,
 )
-from declip_tpu.data.transforms import build_common_augmentation
+from declip_tpu.data.evaluator import ImageNetEvaluator, Metric
+from declip_tpu.data.sampler import compute_total_iter
 from declip_tpu.models import model_entry
 from declip_tpu.models.clip_model import l2_normalize
 from declip_tpu.models.memory_bank import init_bank
@@ -165,6 +164,7 @@ class Solver:
     def build_data(self):
         dcfg = self.normalize_data_config(self.config.get("data") or {})
         train_cfg = dict(dcfg.get("train") or {})
+        train_cfg.setdefault("transforms", {"type": "STANDARD_CLIP"})
         self.per_chip_batch = int(train_cfg.get("batch_size", 8))
         # reference batch_size is per-rank(=per-GPU); per-host loader batch =
         # per-chip x local chips, sharded over the mesh by the train step
@@ -172,14 +172,10 @@ class Solver:
         self.host_batch = self.per_chip_batch * local_chips
         self.global_batch = self.per_chip_batch * self.n_devices
 
-        aug = train_cfg.get("transforms", {}).get("type", "STANDARD_CLIP")
-        ds = ClipDataset(
-            root_dir=train_cfg.get("root_dir", ""),
-            meta_file=train_cfg.get("meta_file", "1024"),
-            transform=build_common_augmentation(aug),
-            read_from=train_cfg.get("read_from", "fs"),
-            fseek=train_cfg.get("fseek", False),
-        )
+        # full config-driven dataset build (use_ranked, image_reader,
+        # server_cfg, fseek — clip_dataloader.py:66-120)
+        ds = build_clip_dataset(
+            train_cfg, world_size=self.world, rank=self.rank)
         self.max_iter = compute_total_iter(
             {**train_cfg,
              **({"max_iter": self.config.get_path("lr_scheduler.kwargs.max_iter")}
@@ -189,8 +185,7 @@ class Solver:
         self.train_dataset = ds
         self.train_cfg = train_cfg
         views = {"clip": 1, "filip": 2, "slip": 3}.get(self.method, 2)
-        aug_type = train_cfg.get("transforms", {}).get(
-            "type", "STANDARD_CLIP")
+        aug_type = train_cfg["transforms"].get("type", "STANDARD_CLIP")
         self.device_aug = (
             {"views": views, "preset": aug_type}
             if train_cfg.get("device_aug", False) else None
@@ -200,31 +195,25 @@ class Solver:
             self.test_cfgs = [self.test_cfgs]
 
     def _train_loader(self, last_iter: int) -> ClipDataLoader:
-        mlm = getattr(self.model, "text_mask_type", None)
-        eda = bool(getattr(self.model, "EDA", False)) and self.method in (
-            "declip", "defilip")
         if self.device_aug is not None:
             # on-device pipeline: swap the dataset transform to geometry-only
             # uint8 crops; photometrics run inside the jitted step
             from declip_tpu.data.transforms import build_geometry_augmentation
 
-            aug = self.train_cfg.get("transforms", {}).get(
-                "type", "STANDARD_CLIP")
+            aug = self.train_cfg["transforms"].get("type", "STANDARD_CLIP")
             self.train_dataset.transform = build_geometry_augmentation(aug)
-        sampler = DistributedGivenIterationSampler(
-            dataset_size=len(self.train_dataset),
-            total_iter=self.max_iter,
-            batch_size=self.host_batch,
-            world_size=self.world,
-            rank=self.rank,
-            last_iter=last_iter,
-        )
-        return ClipDataLoader(
-            self.train_dataset, sampler, self.host_batch,
-            eda=eda, text_mask_type=mlm,
-            num_workers=int(self.train_cfg.get("num_workers", 4)),
-            seed=int(self.config.get_path("seed", 0)),
-            start_batch_idx=last_iter + 1,
+        split_cfg = dict(self.train_cfg)
+        split_cfg["batch_size"] = self.host_batch  # per-host loader batch
+        split_cfg.setdefault("seed", int(self.config.get_path("seed", 0)))
+        # DeCLIP extras flow from the model config (declip.py:203-212)
+        split_cfg["eda"] = bool(getattr(self.model, "EDA", False)) and \
+            self.method in ("declip", "defilip")
+        split_cfg["text_mask_type"] = getattr(
+            self.model, "text_mask_type", None)
+        return build_clip_dataloader(
+            split_cfg, world_size=self.world, rank=self.rank,
+            last_iter=last_iter, total_iter=self.max_iter,
+            dataset=self.train_dataset,
         )
 
     # ------------------------------------------------------------ optimizer
@@ -564,19 +553,10 @@ class Solver:
 
     # ----------------------------------------------------------------- eval
     def _eval_loader(self, tcfg: Dict):
-        aug = tcfg.get("transforms", {}).get("type", "ONECROP")
-        read_from = tcfg.get("read_from", "fs")
-        common = dict(
-            root_dir=tcfg.get("root_dir", ""),
-            meta_file=tcfg.get("meta_file", "256"),
-            transform=build_common_augmentation(aug),
-            read_from=read_from,
-            label_texts_ensemble=tcfg.get("label_texts_ensemble", "prompt80"),
-        )
-        if tcfg.get("type", "clip") == "imagenet" and read_from != "synthetic":
-            ds = ImageNetDataset(**common)
-        else:
-            ds = ClipDataset(**common)
+        split_cfg = dict(tcfg)
+        split_cfg.setdefault("meta_file", "256")
+        split_cfg.setdefault("label_texts_ensemble", "prompt80")
+        ds = build_clip_dataset(split_cfg)
         return ds, int(tcfg.get("batch_size", self.host_batch))
 
     def validate(self, step: int):
