@@ -172,7 +172,7 @@ def make_train_step(
                 preset=str(device_aug.get("preset", "MOCOV2")),
                 dtype=getattr(model, "dtype", jnp.float32),
             )
-        (_, (metrics, new_stats, out)), grads = jax.value_and_grad(
+        (total, (metrics, new_stats, out)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params, state, batch)
 
@@ -197,19 +197,36 @@ def make_train_step(
             bank = enqueue(bank, out["text_embed_aug"])
             bank = enqueue(bank, out["text_embed"])
 
+        grad_norm = optax.global_norm(grads)
+        # Per-step non-finite containment (the host only inspects loss on
+        # print_freq boundaries; the reference checks EVERY iteration,
+        # declip_solver.py:548-619). A NaN/inf loss or gradient skips the
+        # param/opt/EMA/bank/BN updates entirely so the poisoned step is a
+        # no-op; the host-side rollback then fires at the next print step.
+        finite = jnp.isfinite(total) & jnp.isfinite(grad_norm)
+
+        def _keep_if_finite(new, old):
+            if new is None or old is None:
+                return new
+            return jax.tree.map(
+                lambda n, o: jnp.where(finite, n, o), new, old)
+
         new_state = state.replace(
             step=step,
-            params=params,
-            batch_stats=new_stats if new_stats is not None else state.batch_stats,
-            opt_state=opt_state,
-            ema_params=ema_params,
-            bank_text=bank,
-            logit_ema_buffer=buffer,
-            logit_clip_count=count,
+            params=_keep_if_finite(params, state.params),
+            batch_stats=_keep_if_finite(
+                new_stats if new_stats is not None else state.batch_stats,
+                state.batch_stats),
+            opt_state=_keep_if_finite(opt_state, state.opt_state),
+            ema_params=_keep_if_finite(ema_params, state.ema_params),
+            bank_text=_keep_if_finite(bank, state.bank_text),
+            logit_ema_buffer=_keep_if_finite(buffer, state.logit_ema_buffer),
+            logit_clip_count=_keep_if_finite(count, state.logit_clip_count),
         )
         metrics = dict(metrics)
         metrics["lr"] = schedule(state.step)
-        metrics["grad_norm"] = optax.global_norm(grads)
+        metrics["grad_norm"] = grad_norm
+        metrics["update_skipped"] = 1.0 - finite.astype(jnp.float32)
         if cfg.get("check_grad", False):
             # per-top-module grad norms (the reference's check_grad /
             # check_model_and_grad debug hooks, clip_solver.py:544-545)

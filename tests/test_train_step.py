@@ -199,3 +199,52 @@ data: {train: {image_text_two_view: True}}
     step = jax.jit(make_train_step(model, tx, cfg, sched, total_steps=10))
     state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_nonfinite_step_is_contained():
+    """A NaN loss/grad at ANY step must leave params/opt/EMA/bank bit-identical
+    (the reference checks every iteration, declip_solver.py:548-619; the host
+    loop here only looks at loss on print boundaries, so the jitted step
+    itself must refuse the poisoned update)."""
+    model = tiny_model("declip_vitb32", {
+        "use_allgather": True, "text_mask_type": "MLM",
+        "return_nn_bank": True, "feature_dim": 32})
+    cfg = parse_config(
+        "clip_simsiam_loss_weight: {clip_loss: 0.4, nn_text: 0.2, "
+        "simsiam_loss: 0.2, masking_language: 0.2}\n"
+        "data: {train: {image_text_two_view: True}}")
+    batch = make_batch(8, views=2, mlm=True, aug=True)
+    state, tx, sched = build_state(model, batch, cfg, use_bank=True, ema=True)
+    step = jax.jit(make_train_step(
+        model, tx, cfg, sched, ema_cfg=EmaConfig(0.999), total_steps=10))
+
+    state, _ = step(state, batch)  # one good step
+    before = jax.device_get(state)
+
+    poison = dict(batch)
+    poison["images"] = batch["images"].at[0, 0, 0, 0].set(jnp.nan)
+    state, metrics = step(state, poison)
+    assert float(metrics["update_skipped"]) == 1.0
+    assert not np.isfinite(float(metrics["loss"]))
+    after = jax.device_get(state)
+    assert int(after.step) == int(before.step) + 1  # host counter stays valid
+    for name, (a, b) in zip(
+        ("params", "opt_state", "ema_params", "bank"),
+        ((before.params, after.params),
+         (before.opt_state, after.opt_state),
+         (before.ema_params, after.ema_params),
+         (before.bank_text, after.bank_text)),
+    ):
+        jax.tree.map(
+            lambda x, y: np.testing.assert_array_equal(
+                x, y, err_msg=f"{name} changed on a non-finite step"),
+            a, b)
+
+    # the very next finite step proceeds normally
+    state, metrics = step(state, batch)
+    assert float(metrics["update_skipped"]) == 0.0
+    assert np.isfinite(float(metrics["loss"]))
+    assert any(
+        not np.array_equal(x, y)
+        for x, y in zip(jax.tree.leaves(jax.device_get(state).params),
+                        jax.tree.leaves(after.params)))
