@@ -158,12 +158,20 @@ def build_clip_dataset(split_cfg: Dict, *, world_size: int = 1, rank: int = 0,
         ClipDatasetRanked,
         ImageNetDataset,
     )
-    from declip_tpu.data.transforms import build_common_augmentation
+    from declip_tpu.data.transforms import (
+        build_common_augmentation,
+        build_transformer,
+    )
 
-    if transform is None:
-        aug = split_cfg.get("transforms", {}).get("type", "ONECROP")
-        transform = build_common_augmentation(aug)
     image_reader = split_cfg.get("image_reader") or {}
+    if transform is None:
+        tcfg = split_cfg.get("transforms", {})
+        if isinstance(tcfg, (list, tuple)):
+            # list-style custom pipelines (clip_dataloader.py:75-78)
+            transform = build_transformer(tcfg, image_reader)
+        else:
+            transform = build_common_augmentation(
+                tcfg.get("type", "ONECROP"))
     read_from = split_cfg.get("read_from", "fs")
     common = dict(
         root_dir=split_cfg.get("root_dir", ""),

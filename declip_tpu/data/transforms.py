@@ -334,4 +334,161 @@ def build_common_augmentation(
         crop = {"ONECROP": 224, "ONECROP256": 256, "ONECROP384": 384}[aug_type]
         resize = 256 if crop <= 256 else 384
         return Compose([Resize(resize), CenterCrop(crop), to_normalized_array])
+    if aug_type == "AUTOAUG":
+        from declip_tpu.data.transforms_extra import ImageNetPolicy
+
+        return Compose([
+            RandomResizedCrop(224, rng=rng),
+            ImageNetPolicy(rng=rng),
+            RandomHorizontalFlip(rng=rng),
+            to_normalized_array,
+        ])
+    if aug_type.startswith("CLSA"):
+        # 'CLSA5-16-24-32' (explicit strong resolutions) or 'CLSA5-16_32'
+        # (one resolution drawn from the range) — imagenet_dataloader.py:84-96,
+        # 133-150. Returns a LIST [q, k, strong_0, ...] like the reference's
+        # CALSMultiResolutionTransform (strong views have different spatial
+        # sizes so they cannot channel-concat; the CLSA SSL builder consumes
+        # the list).
+        from declip_tpu.data.transforms_extra import CLSAAug
+
+        head, *res_spec = aug_type[4:].split("-")
+        num_times = int(head or 5)
+        if res_spec and "_" in res_spec[0]:
+            lo, hi = (int(e) for e in res_spec[0].split("_"))
+            resolutions = [rng.choice(range(lo, hi + 1))]
+        elif res_spec:
+            resolutions = [int(e) for e in res_spec]
+        else:
+            resolutions = [96, 128, 160, 192, 224]
+        base = Compose(_mocov2_ops(224, rng))
+        strong = Compose([CLSAAug(num_of_times=num_times, rng=rng),
+                          to_normalized_array])
+        return CLSAMultiResolutionTransform(base, strong, resolutions, rng)
     raise KeyError(f"undefined augmentation type {aug_type!r}")
+
+
+class CLSAMultiResolutionTransform:
+    """Two MoCo-v2 base views + one strong view per resolution
+    (transforms.py:56-80 CALSMultiResolutionTransform)."""
+
+    def __init__(self, base: Transform, strong: Transform,
+                 resolutions: Sequence[int],
+                 rng: Optional[random.Random] = None):
+        self.base = base
+        self.strong = strong
+        self.crops = [RandomResizedCrop(r, scale=(0.2, 1.0), rng=rng)
+                      for r in resolutions]
+
+    def __call__(self, img: Image.Image) -> List[np.ndarray]:
+        views = [self.base(img), self.base(img)]
+        views.extend(self.strong(crop(img)) for crop in self.crops)
+        return views
+
+
+class Normalize:
+    """mean/std normalize on a float HWC array (list-style configs carry
+    explicit mean/std kwargs)."""
+
+    def __init__(self, mean=None, std=None):
+        self.mean = np.asarray(
+            IMAGENET_MEAN if mean is None else mean, np.float32)
+        self.std = np.asarray(IMAGENET_STD if std is None else std, np.float32)
+
+    def __call__(self, arr: np.ndarray) -> np.ndarray:
+        return (np.asarray(arr, np.float32) - self.mean) / self.std
+
+
+class AdjustGamma:
+    """Fixed gamma correction (transforms.py AdjustGamma)."""
+
+    def __init__(self, gamma: float = 1.0, gain: float = 1.0):
+        self.gamma = gamma
+        self.gain = gain
+
+    def __call__(self, img: Image.Image) -> Image.Image:
+        arr = np.asarray(img, np.float32) / 255.0
+        arr = 255.0 * np.clip(self.gain * arr ** self.gamma, 0.0, 1.0)
+        return Image.fromarray(arr.astype(np.uint8), img.mode)
+
+
+class ToGrayscale:
+    def __init__(self, num_output_channels: int = 3):
+        self.n = num_output_channels
+
+    def __call__(self, img: Image.Image) -> Image.Image:
+        g = img.convert("L")
+        return g.convert("RGB") if self.n == 3 else g
+
+
+class RandomVerticalFlip:
+    def __init__(self, p=0.5, rng: Optional[random.Random] = None):
+        self.p = p
+        self.rng = rng or random
+
+    def __call__(self, img: Image.Image) -> Image.Image:
+        if self.rng.random() < self.p:
+            return img.transpose(Image.FLIP_TOP_BOTTOM)
+        return img
+
+
+class RandomRotation:
+    def __init__(self, degrees, rng: Optional[random.Random] = None):
+        self.degrees = ((-degrees, degrees)
+                        if np.isscalar(degrees) else tuple(degrees))
+        self.rng = rng or random
+
+    def __call__(self, img: Image.Image) -> Image.Image:
+        return img.rotate(self.rng.uniform(*self.degrees))
+
+
+class RandomOrientationRotation:
+    """Rotate by one of a fixed set of angles (transforms.py
+    RandomOrientationRotation)."""
+
+    def __init__(self, angles: Sequence[float] = (0, 90, 180, 270),
+                 rng: Optional[random.Random] = None):
+        self.angles = list(angles)
+        self.rng = rng or random
+
+    def __call__(self, img: Image.Image) -> Image.Image:
+        return img.rotate(self.rng.choice(self.angles))
+
+
+def _to_float_array(img) -> np.ndarray:
+    # the reference's ToTensor minus the CHW transpose (TPU layout is NHWC)
+    return np.asarray(img, np.float32) / 255.0
+
+
+TRANSFORM_TABLE = {
+    "resize": Resize,
+    "center_crop": CenterCrop,
+    "random_resized_crop": RandomResizedCrop,
+    "random_horizontal_flip": RandomHorizontalFlip,
+    # the reference's typo'd key (transforms.py:165) kept for config parity
+    "ramdom_vertical_flip": RandomVerticalFlip,
+    "random_vertical_flip": RandomVerticalFlip,
+    "random_rotation": RandomRotation,
+    "color_jitter": ColorJitter,
+    "normalize": Normalize,
+    "to_tensor": lambda: _to_float_array,
+    "adjust_gamma": AdjustGamma,
+    "to_grayscale": ToGrayscale,
+    "cutout": Cutout,
+    "random_orientation_rotation": RandomOrientationRotation,
+    "gaussian_blur": GaussianBlur,
+}
+
+
+def build_transformer(cfgs: Sequence, image_reader: Optional[dict] = None
+                      ) -> Transform:
+    """List-style transform configs ``[{type, kwargs}, ...]``
+    (transforms.py:160-210 build_transformer). The image_reader arg is
+    accepted for config parity; the kestrel GPU path it selected is
+    SenseTime-hardware-specific (the native decode path is selected at the
+    dataset level here)."""
+    ops = []
+    for cfg in cfgs:
+        ctor = TRANSFORM_TABLE[cfg["type"]]
+        ops.append(ctor(**(cfg.get("kwargs") or {})))
+    return Compose(ops)

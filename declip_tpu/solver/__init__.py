@@ -185,7 +185,9 @@ class Solver:
         self.train_dataset = ds
         self.train_cfg = train_cfg
         views = {"clip": 1, "filip": 2, "slip": 3}.get(self.method, 2)
-        aug_type = train_cfg["transforms"].get("type", "STANDARD_CLIP")
+        tcfg = train_cfg["transforms"]
+        aug_type = (tcfg.get("type", "STANDARD_CLIP")
+                    if isinstance(tcfg, dict) else "STANDARD_CLIP")
         self.device_aug = (
             {"views": views, "preset": aug_type}
             if train_cfg.get("device_aug", False) else None
@@ -200,8 +202,8 @@ class Solver:
             # uint8 crops; photometrics run inside the jitted step
             from declip_tpu.data.transforms import build_geometry_augmentation
 
-            aug = self.train_cfg["transforms"].get("type", "STANDARD_CLIP")
-            self.train_dataset.transform = build_geometry_augmentation(aug)
+            self.train_dataset.transform = build_geometry_augmentation(
+                self.device_aug["preset"])
         split_cfg = dict(self.train_cfg)
         split_cfg["batch_size"] = self.host_batch  # per-host loader batch
         split_cfg.setdefault("seed", int(self.config.get_path("seed", 0)))

@@ -176,3 +176,64 @@ def test_fake_cache_is_per_instance(tmp_path):
     img_a = np.asarray(ds_a[0]["image"])
     img_b = np.asarray(ds_b[0]["image"])
     assert img_a.mean() < 50 and img_b.mean() > 200
+
+
+def test_autoaug_clsa_cutout_dispatch():
+    """Reference names from imagenet_dataloader.py:14-150 all build and
+    produce correct shapes/view counts."""
+    import random
+
+    from PIL import Image
+
+    from declip_tpu.data.transforms import (
+        build_common_augmentation,
+        build_transformer,
+    )
+
+    img = Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (300, 260, 3), np.uint8),
+        "RGB")
+    rng = random.Random(0)
+
+    out = build_common_augmentation("AUTOAUG", rng)(img)
+    assert out.shape == (224, 224, 3) and out.dtype == np.float32
+
+    # explicit strong resolutions: 2 base views + one per resolution
+    views = build_common_augmentation("CLSA5-16-32", rng)(img)
+    assert isinstance(views, list) and len(views) == 4
+    assert views[0].shape == views[1].shape == (224, 224, 3)
+    assert views[2].shape == (16, 16, 3)
+    assert views[3].shape == (32, 32, 3)
+
+    # range spec: one strong resolution drawn from [lo, hi]
+    views = build_common_augmentation("CLSA5-96_128", rng)(img)
+    assert len(views) == 3
+    assert 96 <= views[2].shape[0] <= 128
+
+    # list-style pipeline with the cutout registry entry
+    # (transforms.py:160-210)
+    t = build_transformer([
+        {"type": "random_resized_crop", "kwargs": {"size": 64}},
+        {"type": "to_tensor"},
+        {"type": "normalize"},
+        {"type": "cutout", "kwargs": {"n_holes": 1, "length": 16,
+                                      "prob": 1.0}},
+    ])
+    arr = t(img)
+    assert arr.shape == (64, 64, 3)
+    assert (arr == 0.0).any()  # cutout hole present
+
+
+def test_list_style_transforms_via_dataset_builder():
+    from declip_tpu.data.dataloader import build_clip_dataset
+
+    ds = build_clip_dataset({
+        "read_from": "synthetic", "meta_file": "8",
+        "transforms": [
+            {"type": "resize", "kwargs": {"size": 32}},
+            {"type": "center_crop", "kwargs": {"size": 32}},
+            {"type": "to_tensor"},
+            {"type": "normalize"},
+        ],
+    })
+    assert ds[0]["image"].shape == (32, 32, 3)

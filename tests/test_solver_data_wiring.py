@@ -129,3 +129,13 @@ def test_eval_loader_builds_imagenet_with_reader(tmp_path):
     assert isinstance(ds, ImageNetDataset)
     assert ds.image_reader_type == "native"
     assert bs == 2
+
+
+def test_solver_trains_with_autoaug(tmp_path):
+    solver = _solver(
+        tmp_path,
+        **{"data.train.transforms": {"type": "AUTOAUG"},
+           "saver.print_freq": 2, "data.test": []},
+    )
+    solver.train()
+    assert int(solver.state.step) == 4
