@@ -1,17 +1,19 @@
 """Throughput benchmark — runs on the real TPU chip.
 
-Default (driver) metric: image-text pairs/sec/chip for CLIP ViT-B/32
-training (full fwd+bwd+optimizer step, bf16 compute / fp32 params, global
-InfoNCE). ``vs_baseline`` normalizes against an A100 open_clip-class
-reference throughput for the same model/recipe (~1000 pairs/sec/GPU at
-batch 128 fp16 — the reference publishes no throughput numbers, SURVEY.md §6,
-so this is the standard public A100 number for CLIP ViT-B/32 training).
+Default (driver mode, no args): benches BOTH the BASELINE north star —
+DeCLIP-R50 full recipe (two views + MLM + EDA text + SimSiam + NN bank) —
+and the CLIP ViT-B/32 anchor, and prints exactly ONE JSON line whose
+headline metric is the north star (the CLIP line rides in ``extra``).
+Full fwd+bwd+optimizer step, bf16 compute / fp32 params, global InfoNCE.
 
-Variants: ``python bench.py --model declip_res50`` benches the DeCLIP-R50
-full recipe (two views + MLM + EDA text + SimSiam + NN bank) — the
-BASELINE.json north-star config.
+``vs_baseline`` normalizes against A100 reference throughputs for the same
+model/recipe (the reference publishes no numbers, SURVEY.md §6; the CLIP
+ViT-B/32 anchor is the standard public ~1000 pairs/sec/GPU at batch 128
+fp16).
 
-Prints exactly one JSON line (the headline metric) on stdout.
+Variants: ``--model clip_vitb32|clip_vitb16|declip_res50`` benches one
+model; ``--loss-impl full|chunked|ring`` selects the InfoNCE implementation
+(SURVEY.md §5.7); ``--e2e`` includes the host input pipeline.
 """
 
 import argparse
@@ -38,7 +40,8 @@ WARMUP_STEPS = 3
 BENCH_STEPS = 20
 
 
-def build(model_name: str, per_chip_batch: int, remat: bool):
+def build(model_name: str, per_chip_batch: int, remat: bool,
+          loss_impl: str = "full"):
     from declip_tpu.config import parse_config
     from declip_tpu.models import model_entry
     from declip_tpu.models.memory_bank import init_bank
@@ -65,7 +68,7 @@ def build(model_name: str, per_chip_batch: int, remat: bool):
                 rng.normal(size=(b, 224, 224, 3)).astype(np.float32)),
             "tokens": jnp.asarray(rng.integers(1, 40000, (b, 77)), jnp.int32),
         }
-        cfg = {}
+        cfg = parse_config("{}")
         bank = None
     elif model_name == "declip_res50":
         model = model_entry({
@@ -124,10 +127,13 @@ grad_clip: {type: logit_scale_param_value, value: 3, max_value: 6}
         params=params, batch_stats=variables.get("batch_stats", {}),
         opt_state=tx.init(params), bank_text=bank,
     )
-    if n_chips > 1:
+    cfg["loss_impl"] = {"type": loss_impl}
+    mesh = None
+    if n_chips > 1 or loss_impl == "ring":
         # shard the batch over the data axis, replicate state — without this
         # everything lands on chip 0 (and pairs/sec/chip is divided by
-        # n_chips against a single chip's work)
+        # n_chips against a single chip's work). The ring impl needs the
+        # mesh even single-chip (its shard_map wrapper).
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from declip_tpu.parallel import make_mesh
@@ -138,14 +144,16 @@ grad_clip: {type: logit_scale_param_value, value: 3, max_value: 6}
             lambda x: jax.device_put(x, NamedSharding(mesh, P("data"))),
             batch)
     step = jax.jit(
-        make_train_step(model, tx, cfg, sched, total_steps=10000),
+        make_train_step(model, tx, cfg, sched, total_steps=10000, mesh=mesh),
         donate_argnums=(0,),
     )
     return step, state, batch, b, n_chips
 
 
-def run(model_name: str, per_chip_batch: int, remat: bool = False):
-    step, state, batch, b, n_chips = build(model_name, per_chip_batch, remat)
+def run(model_name: str, per_chip_batch: int, remat: bool = False,
+        loss_impl: str = "full"):
+    step, state, batch, b, n_chips = build(
+        model_name, per_chip_batch, remat, loss_impl)
     for _ in range(WARMUP_STEPS):
         state, metrics = step(state, batch)
     # force a full device round-trip (block_until_ready can be a no-op
@@ -250,12 +258,31 @@ def run_e2e(per_chip_batch: int, steps: int = 30, workers: int = 16,
     return b * n_timed / dt / n_chips
 
 
+LABELS = {"clip_vitb32": "CLIP ViT-B/32", "clip_vitb16": "CLIP ViT-B/16",
+          "declip_res50": "DeCLIP-R50"}
+DEFAULT_BATCH = {"clip_vitb32": 128, "clip_vitb16": 64, "declip_res50": 128}
+
+
+def _line(model: str, pairs: float, suffix: str = "") -> dict:
+    return {
+        "metric": f"image-text pairs/sec/chip ({LABELS[model]} train, "
+                  f"bf16{suffix})",
+        "value": round(pairs, 1),
+        "unit": "pairs/s/chip",
+        "vs_baseline": round(pairs / A100_BASELINE[model], 3),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", default="clip_vitb32",
-                    choices=sorted(A100_BASELINE))
+    ap.add_argument("--model", default="",
+                    choices=[""] + sorted(A100_BASELINE),
+                    help="default (driver mode): DeCLIP-R50 north star "
+                         "headline + CLIP ViT-B/32 in 'extra'")
     ap.add_argument("--batch", type=int, default=0, help="per-chip batch")
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--loss-impl", default="full",
+                    choices=["full", "chunked", "ring"])
     ap.add_argument("--e2e", action="store_true",
                     help="include the host input pipeline")
     ap.add_argument("--no-device-aug", action="store_true")
@@ -273,17 +300,23 @@ def main():
         }))
         return
 
-    batch = args.batch or {"clip_vitb32": 128, "clip_vitb16": 64,
-                           "declip_res50": 128}[args.model]
-    pairs = run(args.model, batch, args.remat)
-    label = {"clip_vitb32": "CLIP ViT-B/32", "clip_vitb16": "CLIP ViT-B/16",
-             "declip_res50": "DeCLIP-R50"}[args.model]
-    print(json.dumps({
-        "metric": f"image-text pairs/sec/chip ({label} train, bf16)",
-        "value": round(pairs, 1),
-        "unit": "pairs/s/chip",
-        "vs_baseline": round(pairs / A100_BASELINE[args.model], 3),
-    }))
+    suffix = f", loss_impl={args.loss_impl}" if args.loss_impl != "full" else ""
+    if args.model:
+        batch = args.batch or DEFAULT_BATCH[args.model]
+        pairs = run(args.model, batch, args.remat, args.loss_impl)
+        print(json.dumps(_line(args.model, pairs, suffix)))
+        return
+
+    # driver mode: the BASELINE north star (DeCLIP-R50 full recipe) is the
+    # headline; the CLIP ViT-B/32 anchor rides along in 'extra'
+    clip_pairs = run("clip_vitb32", args.batch or DEFAULT_BATCH["clip_vitb32"],
+                     args.remat, args.loss_impl)
+    declip_pairs = run("declip_res50",
+                       args.batch or DEFAULT_BATCH["declip_res50"],
+                       args.remat, args.loss_impl)
+    out = _line("declip_res50", declip_pairs, suffix)
+    out["extra"] = {"clip_vitb32": _line("clip_vitb32", clip_pairs, suffix)}
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

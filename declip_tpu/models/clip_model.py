@@ -94,6 +94,26 @@ def build_towers(kwargs: dict, image_factory, *, default_text_width: int = 512):
 
     image_kwargs = dict(kwargs.get("image_encode") or {})
     text_kwargs = dict(kwargs.get("text_encode") or {})
+    # use_sync_bn/bn_group_size/bn_sync_stats (declip88m configs,
+    # modified_resnet.py:116-142): under SPMD the batch is one logical array,
+    # so BN statistics are GLOBAL-batch — equivalent to SyncBN with
+    # group_size == world — regardless of these knobs. Per-group statistics
+    # exist only on the shard_map path (BatchNorm axis_index_groups,
+    # tests/test_grouped_bn.py). Say so loudly instead of silently differing.
+    if (image_kwargs.get("use_sync_bn") is False
+            or int(image_kwargs.get("bn_group_size") or 1) > 1):
+        if not image_kwargs.get("bn_axis_name"):
+            import logging
+
+            logging.getLogger("declip_tpu").warning(
+                "config requests use_sync_bn=%s bn_group_size=%s, but under "
+                "SPMD BatchNorm statistics are computed over the GLOBAL "
+                "batch (= SyncBN with group_size == world). Per-group stats "
+                "require the shard_map path (bn_axis_name + "
+                "axis_index_groups).",
+                image_kwargs.get("use_sync_bn", True),
+                image_kwargs.get("bn_group_size", 1),
+            )
     dtype = kwargs.get("dtype", jnp.float32)
     if isinstance(dtype, str):
         dtype = jnp.dtype(dtype)

@@ -216,6 +216,8 @@ def ring_cross_entropy(
     def _varying(x):
         # mark constants as device-varying so the scan carry typechecks
         # under shard_map's manual-axes tracking
+        if hasattr(lax, "pcast"):
+            return lax.pcast(x, axis_name, to="varying")
         try:
             return lax.pvary(x, axis_name)
         except AttributeError:  # older jax
@@ -242,6 +244,88 @@ def ring_clip_pair_loss(
     li = ring_cross_entropy(image_embed, text_embed, scale, axis_name)
     lt = ring_cross_entropy(text_embed, image_embed, scale, axis_name)
     return (li + lt) / 2
+
+
+def loss_impl_kind(cfg) -> str:
+    """Read the configured contrastive-loss implementation: ``loss_impl:
+    {type: full|chunked|ring, ...}`` (or a bare string). Default 'full'."""
+    node = (cfg or {}).get("loss_impl") or {}
+    if isinstance(node, str):
+        node = {"type": node}
+    return str(node.get("type", "full"))
+
+
+def make_pair_loss(cfg, *, mesh=None, axis_name: Optional[str] = None):
+    """Config-selected symmetric InfoNCE: ``pair_loss(img, txt, scale) ->
+    (loss, logits_for_acc, labels_for_acc)``.
+
+    - ``full`` — gathered [B, GB] logits (clip.py:136-144 semantics).
+    - ``chunked`` — blockwise logsumexp, never materializes [B, GB]
+      (SURVEY.md §5.7). Accuracy metrics come from a diagonal proxy block of
+      ``acc_window`` rows (the meter, not the objective).
+    - ``ring`` — ppermute ring under shard_map, gather-free. Needs either
+      ``axis_name`` (already inside shard_map) or ``mesh`` (wrapped in a
+      shard_map over the 'data' axis from inside the jitted step).
+
+    All three are grad-parity tested against each other
+    (tests/test_loss_impl.py, test_ring_contrastive.py,
+    test_chunked_contrastive.py)."""
+    node = (cfg or {}).get("loss_impl") or {}
+    if isinstance(node, str):
+        node = {"type": node}
+    kind = str(node.get("type", "full"))
+    chunk = int(node.get("chunk_size", 1024))
+    acc_k = int(node.get("acc_window", 1024))
+
+    def acc_proxy(img, txt, scale):
+        k = min(img.shape[0], acc_k)
+        logits = similarity_logits(img[:k], txt[:k], scale)
+        return logits, jnp.arange(k, dtype=jnp.int32)
+
+    if kind == "full":
+        def pair(img, txt, scale):
+            return clip_pair_loss(img, txt, scale, axis_name)
+
+        return pair
+    if kind == "chunked":
+        def pair(img, txt, scale):
+            loss = chunked_clip_pair_loss(img, txt, scale, axis_name, chunk)
+            return (loss, *acc_proxy(img, txt, scale))
+
+        return pair
+    if kind == "ring":
+        if axis_name is not None:
+            def pair(img, txt, scale):
+                loss = lax.pmean(
+                    ring_clip_pair_loss(img, txt, scale, axis_name),
+                    axis_name)
+                return (loss, *acc_proxy(img, txt, scale))
+
+            return pair
+        if mesh is None:
+            raise ValueError(
+                "loss_impl 'ring' needs a mesh (SPMD mode) or an axis_name "
+                "(shard_map mode)")
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+
+        def ring_fn(i, t, s):
+            return lax.pmean(ring_clip_pair_loss(i, t, s, axis), axis)
+
+        ring_sm = shard_map(
+            ring_fn, mesh=mesh,
+            in_specs=(P(axis), P(axis), P()), out_specs=P())
+
+        def pair(img, txt, scale):
+            return (ring_sm(img, txt, scale), *acc_proxy(img, txt, scale))
+
+        return pair
+    raise NotImplementedError(f"loss_impl type {kind!r}")
 
 
 def topk_accuracy(

@@ -350,8 +350,16 @@ class Solver:
         self.state = jax.device_put(state, self._replicated())
 
     def _feature_dim(self, params) -> int:
-        # joint embedding dim = text projection output
-        return int(params["text"]["text_projection"]["kernel"].shape[-1])
+        # joint embedding dim: the model's feature_dim field when set
+        # (DECLIP/DEFILIP carry it), else the text projection output — which
+        # HF text towers name differently, so probe both layouts
+        dim = getattr(self.model, "feature_dim", None)
+        if dim:
+            return int(dim)
+        text = params.get("text", {})
+        if "text_projection" in text:
+            return int(text["text_projection"]["kernel"].shape[-1])
+        return int(getattr(self.model.text, "embed_dim"))
 
     def _replicated(self):
         from jax.sharding import NamedSharding, PartitionSpec
@@ -364,6 +372,7 @@ class Solver:
             self.model, self.tx, self.config, self.schedule,
             method=self.method, ema_cfg=self.ema_cfg,
             total_steps=self.max_iter, device_aug=self.device_aug,
+            mesh=self.mesh,
         )
         self._train_step = jax.jit(step_fn, donate_argnums=(0,))
 
@@ -655,13 +664,37 @@ class Solver:
             self.path.result_path, f"results.txt.rank{self.rank}")
         all_scores, all_labels = [], []
         n = len(dataset)
-        with open(res_path, "w") as writer:
-            # hosts split the val set by interleaved batches; results merge
-            # via the per-rank dumps (base_dataset.py:122-139)
+
+        # parallel item loading: decode/transform runs on worker threads a
+        # few batches ahead (PIL releases the GIL), so eval wall-time is the
+        # jitted encode, not 50k serial PIL decodes
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        # hosts split the val set by interleaved batches; results merge
+        # via the per-rank dumps (base_dataset.py:122-139)
+        idx_batches = [
+            range(beg, min(beg + batch_size, n))
             for beg in range(self.rank * batch_size, n,
-                             batch_size * self.world):
-                idxs = range(beg, min(beg + batch_size, n))
-                items = [dataset[i] for i in idxs]
+                             batch_size * self.world)
+        ]
+        workers = max(1, int(tcfg.get("num_workers", 4)))
+
+        def _fetch(idxs):
+            return [dataset[i] for i in idxs]
+
+        with open(res_path, "w") as writer, \
+                ThreadPoolExecutor(workers) as pool:
+            inflight: deque = deque()
+            queued = 0
+            while queued < len(idx_batches) and len(inflight) < workers + 2:
+                inflight.append(pool.submit(_fetch, idx_batches[queued]))
+                queued += 1
+            while inflight:
+                items = inflight.popleft().result()
+                if queued < len(idx_batches):
+                    inflight.append(pool.submit(_fetch, idx_batches[queued]))
+                    queued += 1
                 imgs = np.stack([it["image"] for it in items])
                 valid = imgs.shape[0]
                 if valid < batch_size:  # pad to the jitted shape

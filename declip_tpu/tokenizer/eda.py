@@ -6,14 +6,20 @@ path. Here EDA runs in the data pipeline on raw strings before tokenization,
 so the device never waits on it.
 
 Per caption the reference picks uniformly among synonym-replacement /
-random-swap / random-deletion. Synonym replacement needs WordNet; in hermetic
-environments (no nltk corpus) we fall back to swap/delete only, or a
-user-supplied synonym table.
+random-swap / random-deletion. Synonym replacement uses WordNet when the
+nltk corpus is present; hermetic environments fall back to the bundled
+static synonym table (data/synonyms.json, ~600 caption-vocabulary entries
+after symmetric closure) so all three ops always run — matching the
+reference recipe's op distribution (declip.py:203-212). A user-supplied
+table overrides both.
 """
 
 from __future__ import annotations
 
+import json
+import os.path as osp
 import random
+from functools import lru_cache
 from typing import Dict, List, Optional, Sequence
 
 try:
@@ -26,6 +32,24 @@ try:
         _HAS_WORDNET = False
 except ImportError:
     _HAS_WORDNET = False
+
+
+@lru_cache(maxsize=1)
+def default_synonym_table() -> Dict[str, List[str]]:
+    """Bundled static table with symmetric closure (if a->b then b->a).
+    Keys ending in a digit are disambiguation aliases for duplicate JSON
+    keys (e.g. 'watch2' the noun vs 'watch' the verb) — folded back here."""
+    path = osp.join(osp.dirname(osp.abspath(__file__)), "data",
+                    "synonyms.json")
+    with open(path) as f:
+        raw = json.load(f)
+    table: Dict[str, set] = {}
+    for key, syns in raw.items():
+        word = key.rstrip("0123456789")
+        table.setdefault(word, set()).update(syns)
+        for s in syns:
+            table.setdefault(s, set()).add(word)
+    return {w: sorted(s - {w}) for w, s in table.items() if s - {w}}
 
 
 def random_swap(words: List[str], n: int, rng: random.Random) -> List[str]:
@@ -56,7 +80,7 @@ def _synonyms(word: str, table: Optional[Dict[str, Sequence[str]]]):
         }
         syns.discard(word)
         return sorted(syns)
-    return []
+    return list(default_synonym_table().get(word.lower(), ()))
 
 
 def synonym_replacement(
@@ -97,14 +121,15 @@ class EDA:
         self.p_delete = p_delete
         self.n_ops = n_ops
         self.synonym_table = synonym_table
-        self._have_synonyms = synonym_table is not None or _HAS_WORDNET
 
     def augment(self, caption: str) -> str:
         words = caption.split()
         if not words:
             return caption
-        ops = ["swap", "delete"] + (["synonym"] if self._have_synonyms else [])
-        op = self.rng.choice(ops)
+        # all three ops always available: WordNet when present, else the
+        # bundled static table (the reference draws uniformly over all
+        # three, declip.py:205-211)
+        op = self.rng.choice(["synonym", "swap", "delete"])
         if op == "synonym":
             words = synonym_replacement(
                 words, self.n_ops, self.rng, self.synonym_table

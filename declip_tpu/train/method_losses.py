@@ -20,9 +20,12 @@ import jax.numpy as jnp
 
 from declip_tpu import losses as L
 from declip_tpu.ops.contrastive import (
+    chunked_cross_entropy,
     clip_infonce,
     gather_features,
     infonce_labels,
+    loss_impl_kind,
+    make_pair_loss,
     similarity_logits,
     topk_accuracy,
 )
@@ -31,28 +34,26 @@ from declip_tpu.ops.filip_ops import late_interaction_logits
 Metrics = Dict[str, jax.Array]
 
 
-def _pair(img, g_txt, txt, g_img, scale, labels):
-    li = similarity_logits(img, g_txt, scale)
-    lt = similarity_logits(txt, g_img, scale)
-    return clip_infonce(li, lt, labels), li
+def clip_losses(out: Dict[str, Any], cfg: Dict, axis_name: Optional[str],
+                pair_loss=None) -> Tuple[jax.Array, Metrics]:
+    """clip_solver.py:407-430: single symmetric InfoNCE.
 
-
-def clip_losses(out: Dict[str, Any], cfg: Dict, axis_name: Optional[str]
-                ) -> Tuple[jax.Array, Metrics]:
-    """clip_solver.py:407-430: single symmetric InfoNCE."""
-    from declip_tpu.ops.contrastive import clip_pair_loss
-
-    loss, logits_i, labels = clip_pair_loss(
-        out["image_embed"], out["text_embed"], out["logit_scale"], axis_name)
+    pair_loss: config-selected implementation (full/chunked/ring —
+    make_pair_loss); built from cfg when not supplied by the train step."""
+    if pair_loss is None:
+        pair_loss = make_pair_loss(cfg, axis_name=axis_name)
+    loss, logits_i, labels = pair_loss(
+        out["image_embed"], out["text_embed"], out["logit_scale"])
     top1, top5 = topk_accuracy(logits_i, labels)
     return loss, {"loss": loss, "clip_loss": loss, "top1": top1, "top5": top5,
                   "logit_scale": out["logit_scale"]}
 
 
-def slip_losses(out, cfg, axis_name) -> Tuple[jax.Array, Metrics]:
+def slip_losses(out, cfg, axis_name, pair_loss=None
+                ) -> Tuple[jax.Array, Metrics]:
     """slip_solver.py:478-512: CLIP + gathered SimCLR on the two aug views."""
     w = cfg.get("loss_weight", {}) or {}
-    clip_l, m = clip_losses(out, cfg, axis_name)
+    clip_l, m = clip_losses(out, cfg, axis_name, pair_loss)
     sim1, sim2 = out["image_sim_1"], out["image_sim_2"]
     g_sim1 = gather_features(sim1, axis_name)
     g_sim2 = gather_features(sim2, axis_name)
@@ -64,32 +65,31 @@ def slip_losses(out, cfg, axis_name) -> Tuple[jax.Array, Metrics]:
     return total, m
 
 
-def _declip_clip_terms(out, cfg, axis_name):
-    """The 2x2 view x (text, text_aug) CLIP losses (declip_solver.py:442-452)."""
+def _declip_clip_terms(out, cfg, axis_name, pair_loss):
+    """The 2x2 view x (text, text_aug) CLIP losses (declip_solver.py:442-452).
+
+    Each term routes through the config-selected pair implementation
+    (full gathered matmul, chunked logsumexp, or ring) — the gathers of the
+    full path are CSE'd by XLA across the four terms."""
     scale = out["logit_scale"]
     i1, i2 = out["image_embed_1"], out["image_embed_2"]
     t, ta = out["text_embed"], out["text_embed_aug"]
-    g_i1 = gather_features(i1, axis_name)
-    g_i2 = gather_features(i2, axis_name)
-    g_t = gather_features(t, axis_name)
-    g_ta = gather_features(ta, axis_name)
-    labels = infonce_labels(i1.shape[0], axis_name)
 
-    l1, logits_i1 = _pair(i1, g_t, t, g_i1, scale, labels)
-    l2, _ = _pair(i2, g_t, t, g_i2, scale, labels)
-    l1a, _ = _pair(i1, g_ta, ta, g_i1, scale, labels)
-    l2a, _ = _pair(i2, g_ta, ta, g_i2, scale, labels)
+    l1, logits_i1, labels_acc = pair_loss(i1, t, scale)
+    l2, _, _ = pair_loss(i2, t, scale)
+    l1a, _, _ = pair_loss(i1, ta, scale)
+    l2a, _, _ = pair_loss(i2, ta, scale)
 
     data_cfg = cfg.get("data", {}).get("train", {}) if cfg else {}
     if data_cfg.get("only_image_two_view", False):
         clip_loss = (l1 + l2) / 2
     else:  # image_text_two_view (default for DeCLIP configs)
         clip_loss = (l1 + l2 + l1a + l2a) / 4
-    return clip_loss, logits_i1, labels
+    return clip_loss, logits_i1, labels_acc
 
 
 def declip_losses(out, cfg, axis_name, *, nn_text=None, nn_text_aug=None,
-                  nn_simsiam=None, step=0, total_steps=1
+                  nn_simsiam=None, step=0, total_steps=1, pair_loss=None
                   ) -> Tuple[jax.Array, Metrics]:
     """declip_solver.py:442-533 assembly.
 
@@ -97,7 +97,10 @@ def declip_losses(out, cfg, axis_name, *, nn_text=None, nn_text_aug=None,
     by the caller), or None when return_nn_bank is off.
     """
     w = dict(cfg.get("clip_simsiam_loss_weight", {}) or {})
-    clip_loss, logits_i1, labels = _declip_clip_terms(out, cfg, axis_name)
+    if pair_loss is None:
+        pair_loss = make_pair_loss(cfg, axis_name=axis_name)
+    clip_loss, logits_i1, labels_acc = _declip_clip_terms(
+        out, cfg, axis_name, pair_loss)
 
     p1, z1, p2, z2 = out["simsiam"]
     simsiam = L.simsiam_loss(p1, z1, p2, z2)
@@ -124,18 +127,30 @@ def declip_losses(out, cfg, axis_name, *, nn_text=None, nn_text_aug=None,
         # through symmetric InfoNCE (declip_solver.py:474-482)
         scale = out["logit_scale"]
         i1, i2 = out["image_embed_1"], out["image_embed_2"]
+        labels = infonce_labels(i1.shape[0], axis_name)
         g_nn = jnp.concatenate(
             [gather_features(t, axis_name) for t in nn_text], axis=0
         )
         g_nn_aug = jnp.concatenate(
             [gather_features(t, axis_name) for t in nn_text_aug], axis=0
         )
-        li1 = similarity_logits(i1, g_nn, scale)
-        li1a = similarity_logits(i1, g_nn_aug, scale)
-        li2 = similarity_logits(i2, g_nn, scale)
-        li2a = similarity_logits(i2, g_nn_aug, scale)
-        l_nn1 = clip_infonce(li1, li1a, labels)
-        l_nn2 = clip_infonce(li2, li2a, labels)
+        if loss_impl_kind(cfg) == "full":
+            li1 = similarity_logits(i1, g_nn, scale)
+            li1a = similarity_logits(i1, g_nn_aug, scale)
+            li2 = similarity_logits(i2, g_nn, scale)
+            li2a = similarity_logits(i2, g_nn_aug, scale)
+            l_nn1 = clip_infonce(li1, li1a, labels)
+            l_nn2 = clip_infonce(li2, li2a, labels)
+        else:
+            # [B, topk*GB] logits are the same memory hazard as the clip
+            # terms — blockwise logsumexp for chunked AND ring (the bank
+            # keys are query results, not batch-sharded rows, so the ring
+            # rotation does not apply to them)
+            def ce(a, b):
+                return chunked_cross_entropy(a, b, scale, labels)
+
+            l_nn1 = (ce(i1, g_nn) + ce(i1, g_nn_aug)) / 2
+            l_nn2 = (ce(i2, g_nn) + ce(i2, g_nn_aug)) / 2
         clip_nn_text = (l_nn1 + l_nn2) / 2
 
     # weighted total (declip_solver.py:507-533)
@@ -166,7 +181,7 @@ def declip_losses(out, cfg, axis_name, *, nn_text=None, nn_text_aug=None,
     else:
         raise NotImplementedError(f"loss weight type {wtype!r}")
 
-    top1, top5 = topk_accuracy(logits_i1, labels)
+    top1, top5 = topk_accuracy(logits_i1, labels_acc)
     metrics.update({
         "loss": total, "clip_loss": clip_loss, "simsiam_loss": simsiam,
         "text_mlm_loss": mlm, "clip_nn_text_loss": clip_nn_text,
@@ -176,15 +191,19 @@ def declip_losses(out, cfg, axis_name, *, nn_text=None, nn_text_aug=None,
     return total, metrics
 
 
-def filip_losses(out, cfg, axis_name) -> Tuple[jax.Array, Metrics]:
-    """filip_solver.py:470-523: CLIP loss + dense late-interaction loss."""
+def filip_losses(out, cfg, axis_name, pair_loss=None
+                 ) -> Tuple[jax.Array, Metrics]:
+    """filip_solver.py:470-523: CLIP loss + dense late-interaction loss.
+
+    The dense late-interaction term stays on the full gathered path (its
+    token-wise max-sim logits don't decompose into a plain logsumexp)."""
     w = dict(cfg.get("clip_simsiam_loss_weight", {}) or {})
+    if pair_loss is None:
+        pair_loss = make_pair_loss(cfg, axis_name=axis_name)
     scale = out["logit_scale"]
     img, txt = out["image_embed"], out["text_embed"]
-    g_img = gather_features(img, axis_name)
-    g_txt = gather_features(txt, axis_name)
     labels = infonce_labels(img.shape[0], axis_name)
-    clip_loss, logits_i = _pair(img, g_txt, txt, g_img, scale, labels)
+    clip_loss, logits_i, labels_acc = pair_loss(img, txt, scale)
 
     dense_loss = jnp.zeros(())
     if "dense_image" in out:
@@ -210,20 +229,21 @@ def filip_losses(out, cfg, axis_name) -> Tuple[jax.Array, Metrics]:
     total = total + dense_loss * w.get("clip_dense_loss", 0.0)
     total = total + mlm * w.get("masking_language", 0.0)
 
-    top1, top5 = topk_accuracy(logits_i, labels)
+    top1, top5 = topk_accuracy(logits_i, labels_acc)
     return total, {"loss": total, "clip_loss": clip_loss,
                    "clip_dense_loss": dense_loss, "text_mlm_loss": mlm,
                    "top1": top1, "top5": top5, "logit_scale": scale}
 
 
 def defilip_losses(out, cfg, axis_name, *, nn_text=None, nn_text_aug=None,
-                   nn_simsiam=None, step=0, total_steps=1
+                   nn_simsiam=None, step=0, total_steps=1, pair_loss=None
                    ) -> Tuple[jax.Array, Metrics]:
     """defilip_solver.py:462-480: DeCLIP assembly + `filip` dense term."""
     w = dict(cfg.get("clip_simsiam_loss_weight", {}) or {})
     total, metrics = declip_losses(
         out, cfg, axis_name, nn_text=nn_text, nn_text_aug=nn_text_aug,
         nn_simsiam=nn_simsiam, step=step, total_steps=total_steps,
+        pair_loss=pair_loss,
     )
     labels = infonce_labels(out["image_embed_1"].shape[0], axis_name)
 

@@ -104,12 +104,19 @@ def make_train_step(
     total_steps: int = 1,
     device_aug: Optional[Dict] = None,
     seed: int = 0,
+    mesh=None,
 ):
     """device_aug: when set (e.g. {'views': 2}), batch['images'] arrives as
     uint8 geometry-only crops and the MOCOV2 photometric augmentation runs
-    fused on-device (declip_tpu/data/device_aug.py) before the model."""
+    fused on-device (declip_tpu/data/device_aug.py) before the model.
+
+    mesh: required only for ``loss_impl: {type: ring}`` in SPMD mode (the
+    ring loss runs under a shard_map over the mesh's first axis)."""
+    from declip_tpu.ops.contrastive import make_pair_loss
+
     method = method or method_of(model)
     grad_clip = dict(cfg.get("grad_clip") or {})
+    pair_loss = make_pair_loss(cfg, mesh=mesh, axis_name=axis_name)
     use_bank = bool(getattr(model, "return_nn_bank", False))
     nn_topk = int(getattr(model, "nn_topk", 1))
     use_nn_simsiam = bool(getattr(model, "return_simsiam_nn_text", False))
@@ -141,20 +148,23 @@ def make_train_step(
                 nn_kwargs["nn_simsiam"] = (out["nn_simsiam_p_text"], z_nn)
 
         if method == "clip":
-            total, metrics = method_losses.clip_losses(out, cfg, axis_name)
+            total, metrics = method_losses.clip_losses(
+                out, cfg, axis_name, pair_loss)
         elif method == "slip":
-            total, metrics = method_losses.slip_losses(out, cfg, axis_name)
+            total, metrics = method_losses.slip_losses(
+                out, cfg, axis_name, pair_loss)
         elif method == "filip":
-            total, metrics = method_losses.filip_losses(out, cfg, axis_name)
+            total, metrics = method_losses.filip_losses(
+                out, cfg, axis_name, pair_loss)
         elif method == "declip":
             total, metrics = method_losses.declip_losses(
                 out, cfg, axis_name, step=state.step,
-                total_steps=total_steps, **nn_kwargs,
+                total_steps=total_steps, pair_loss=pair_loss, **nn_kwargs,
             )
         elif method == "defilip":
             total, metrics = method_losses.defilip_losses(
                 out, cfg, axis_name, step=state.step,
-                total_steps=total_steps, **nn_kwargs,
+                total_steps=total_steps, pair_loss=pair_loss, **nn_kwargs,
             )
         else:
             raise NotImplementedError(method)
@@ -214,9 +224,12 @@ def make_train_step(
         new_state = state.replace(
             step=step,
             params=_keep_if_finite(params, state.params),
-            batch_stats=_keep_if_finite(
-                new_stats if new_stats is not None else state.batch_stats,
-                state.batch_stats),
+            batch_stats=(
+                _keep_if_finite(new_stats, state.batch_stats)
+                if new_stats is not None and state.batch_stats
+                # a state built without stats adopts the model's on step 1
+                else (new_stats if new_stats is not None
+                      else state.batch_stats)),
             opt_state=_keep_if_finite(opt_state, state.opt_state),
             ema_params=_keep_if_finite(ema_params, state.ema_params),
             bank_text=_keep_if_finite(bank, state.bank_text),

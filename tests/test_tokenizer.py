@@ -79,3 +79,39 @@ def test_eda_deterministic_and_nonempty():
     assert all(len(c.split()) >= 1 for c in out1)
     # something changed across a batch with near-certainty
     assert any(a != b for a, b in zip(caps, out1))
+
+
+def test_eda_all_three_ops_hermetic():
+    """Without WordNet, the bundled static synonym table keeps all three EDA
+    ops live (reference draws uniformly over sr/swap/delete,
+    declip.py:205-211)."""
+    from declip_tpu.tokenizer.eda import default_synonym_table, synonym_replacement
+    import random
+
+    table = default_synonym_table()
+    assert len(table) > 500
+    # symmetric closure: if a -> b then b -> a
+    for w in ("photo", "big", "dog", "car"):
+        for s in table[w]:
+            if " " not in s:  # multi-word synonyms aren't keys
+                assert w in table[s], (w, s)
+
+    out = synonym_replacement(
+        ["a", "photo", "of", "a", "dog"], 2, random.Random(0), table)
+    assert out != ["a", "photo", "of", "a", "dog"]
+
+    # distribution: over many captions each op fires (synonym changes a
+    # known word, delete shortens, swap reorders)
+    eda = EDA(seed=1)
+    cap = "a big photo of a dog near a car"
+    saw_shorter = saw_replaced = saw_swapped = 0
+    for _ in range(200):
+        out = eda.augment(cap)
+        words = out.split()
+        if len(words) < len(cap.split()):
+            saw_shorter += 1
+        elif set(words) != set(cap.split()):
+            saw_replaced += 1
+        elif out != cap:
+            saw_swapped += 1
+    assert saw_shorter > 20 and saw_replaced > 20 and saw_swapped > 20
