@@ -77,9 +77,21 @@ class ClipDataLoader:
     def _build_batch(self, indices: Sequence[int], batch_idx: int
                      ) -> Dict[str, Any]:
         items = [self.dataset[i] for i in indices]
-        images = np.stack([it["image"] for it in items])
-        if images.dtype != np.uint8:  # uint8 = on-device-aug path: ship as-is
-            images = images.astype(np.float32)
+        strong: Dict[str, np.ndarray] = {}
+        if isinstance(items[0]["image"], list):
+            # CLSA multi-view list (transforms.CLSAMultiResolutionTransform):
+            # the two 224 weak views channel-concat into 'images'; each
+            # strong resolution becomes its own images_strong_{i} tensor
+            images = np.stack([
+                np.concatenate(it["image"][:2], axis=-1) for it in items
+            ]).astype(np.float32)
+            for v in range(2, len(items[0]["image"])):
+                strong[f"images_strong_{v - 2}"] = np.stack(
+                    [it["image"][v] for it in items]).astype(np.float32)
+        else:
+            images = np.stack([it["image"] for it in items])
+            if images.dtype != np.uint8:  # uint8 = on-device-aug path
+                images = images.astype(np.float32)
         captions = [it["caption"] for it in items]
         labels = np.asarray([it["label"] for it in items], np.int32)
 
@@ -88,6 +100,7 @@ class ClipDataLoader:
             "images": images,
             "tokens": tok.tokenize(captions, self.context_length),
             "labels": labels,
+            **strong,
         }
         if self.eda:
             eda = EDA(seed=self.seed * 1_000_003 + batch_idx)

@@ -10,11 +10,13 @@ base_dataset}.py:
   (clip_dataset.py:180-216); zero-shot prompt machinery
   (clip_dataset.py:238-288).
 - ImageNetDataset: "filename label" metafile (imagenet_dataset.py:22-98).
-- Storage backends: fs bytes, 'fake' (one cached file served for every
-  sample, base_dataset.py:81-86), and 'synthetic' (procedural images, no
-  files at all — extends the reference's fake mode for hermetic tests and
-  throughput benches). mc/ceph/petrel backends are cluster-specific; the
-  'fs' switch point is where a GCS reader slots in.
+- Storage backends: fs bytes, 'gcs' (Google Cloud Storage via
+  google.cloud.storage — the TPU-native replacement for the reference's
+  mc/ceph/petrel SenseTime-cluster SDKs, base_dataset.py:44-120), 'fake'
+  (one cached file served for every sample, base_dataset.py:81-86), and
+  'synthetic' (procedural images, no files at all — extends the reference's
+  fake mode for hermetic tests and throughput benches). gs:// metafiles are
+  opened through fsspec.
 """
 
 from __future__ import annotations
@@ -80,6 +82,24 @@ def contains_chinese(s: str) -> bool:
     return any("一" <= ch <= "龥" for ch in s)
 
 
+def _open_meta(path: str):
+    """Open a metafile; gs:// paths go through fsspec (metafiles on object
+    store, the reference's petrel-path pattern)."""
+    if str(path).startswith("gs://"):
+        import fsspec
+
+        return fsspec.open(path, "r").open()
+    return open(path)
+
+
+def _split_gcs_path(path: str) -> Tuple[str, str]:
+    path = path[5:] if path.startswith("gs://") else path.lstrip("/")
+    bucket, _, key = path.partition("/")
+    if not bucket or not key:
+        raise ValueError(f"bad GCS path {path!r} (want gs://bucket/key)")
+    return bucket, key
+
+
 class ClipDataset:
     """Image-text pairs with prompt-ensemble zero-shot support."""
 
@@ -96,6 +116,7 @@ class ClipDataset:
         native_min_side: int = 512,
         server_cfg=None,
         seed: int = 0,
+        gcs_client=None,
     ):
         roots = root_dir if isinstance(root_dir, (list, tuple)) else [root_dir]
         metas = meta_file if isinstance(meta_file, (list, tuple)) else [meta_file]
@@ -107,6 +128,7 @@ class ClipDataset:
         self.image_reader_type = image_reader_type
         self.native_min_side = native_min_side
         self._fake_bytes: Optional[bytes] = None
+        self._gcs = gcs_client  # injectable for tests; lazily built otherwise
         self._rng = random.Random(seed)
 
         self.roots: List[str] = []
@@ -154,7 +176,7 @@ class ClipDataset:
                         offset += len(line)
                 self.num = len(self._offsets)
             else:
-                with open(meta) as f:
+                with _open_meta(meta) as f:
                     for line in f:
                         if line.strip():
                             self.metas.append(json.loads(line))
@@ -196,6 +218,16 @@ class ClipDataset:
         return self.metas[idx]
 
     def _read_bytes(self, filename: str) -> bytes:
+        if self.read_from == "gcs":
+            # GCS object bytes (base_dataset.py:44-120's mc/ceph/petrel role).
+            # The Client is thread-safe for reads, so loader worker threads
+            # share one; blob downloads release the GIL in the HTTP stack.
+            if self._gcs is None:
+                from google.cloud import storage
+
+                self._gcs = storage.Client()
+            bucket, key = _split_gcs_path(filename)
+            return self._gcs.bucket(bucket).blob(key).download_as_bytes()
         if self.read_from == "fake":
             # single cached file served for every sample
             # (base_dataset.py:81-86) — data-pipeline throughput testing;

@@ -9,6 +9,7 @@ from declip_tpu.models import declip_model  # noqa: F401
 from declip_tpu.models import slip_model  # noqa: F401
 from declip_tpu.models import filip_model  # noqa: F401
 from declip_tpu.models import defilip_model  # noqa: F401
+from declip_tpu.models import ssl_builders  # noqa: F401 (moco/simclr/clsa)
 
 from declip_tpu.models.clip_model import CLIP  # noqa: F401
 from declip_tpu.models.declip_model import DECLIP  # noqa: F401

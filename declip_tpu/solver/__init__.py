@@ -305,12 +305,20 @@ class Solver:
                 dim,
             )
 
+        ssl = None
+        if self.method in ("moco", "clsa"):
+            from declip_tpu.models.ssl_builders import init_moco_state
+
+            ssl = init_moco_state(
+                params, jax.random.PRNGKey(2), int(self.model.K),
+                int(self.model.dim), batch_stats)
+
         guard = dict(self.config.get("grad_clip") or {}).get(
             "type") == "logit_scale_param_ema"
         state = new_train_state(
             params=params, batch_stats=batch_stats,
             opt_state=self.tx.init(params), ema_params=ema_params,
-            bank_text=bank, with_logit_guard=guard,
+            bank_text=bank, with_logit_guard=guard, ssl=ssl,
         )
 
         # auto-resume (clip_solver.py:128-139)

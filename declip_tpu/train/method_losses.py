@@ -286,3 +286,58 @@ def defilip_losses(out, cfg, axis_name, *, nn_text=None, nn_text_aug=None,
         total = total + filip_loss * w.get("filip", 0.0)
     metrics.update({"loss": total, "filip_loss": filip_loss})
     return total, metrics
+
+
+def simclr_losses(out, axis_name, *, temperature: float = 0.5
+                  ) -> Tuple[jax.Array, Metrics]:
+    """SimCLR NT-Xent over the two weak views (simclr_builder.py). Under
+    SPMD the feature arrays are logically global, so the plain NT-Xent IS
+    the gathered loss; under shard_map the gathered variant is used."""
+    z1, z2 = out["q"], out["z2"]
+    if axis_name is None:
+        total = L.nt_xent(z1, z2, temperature)
+    else:
+        g1 = gather_features(z1, axis_name)
+        g2 = gather_features(z2, axis_name)
+        labels = infonce_labels(z1.shape[0], axis_name)
+        total = L.nt_xent_gather(z1, g1, z2, g2, labels, temperature)
+    return total, {"loss": total, "simclr_loss": total}
+
+
+def moco_losses(out, axis_name, *, k, queue, temperature: float = 0.07,
+                clsa_ratio: float = 1.0, clsa_avg: bool = True
+                ) -> Tuple[jax.Array, Metrics]:
+    """MoCo InfoNCE against the momentum-key + queue negatives, plus CLSA's
+    DDM terms on the strong views when present (moco_builder.py:133-161,
+    clsa_builder.py:110-180)."""
+    q = out["q"]
+
+    def logits_of(feats):
+        l_pos = jnp.einsum("nd,nd->n", feats, k)[:, None]
+        l_neg = jnp.einsum(
+            "nd,kd->nk", feats, queue, preferred_element_type=jnp.float32)
+        return jnp.concatenate([l_pos, l_neg], axis=1).astype(
+            jnp.float32) / temperature
+
+    logits_weak = logits_of(q)
+    labels = jnp.zeros((q.shape[0],), jnp.int32)
+    logp = jax.nn.log_softmax(logits_weak, axis=-1)
+    contrastive = -logp[:, 0].mean()
+
+    ddm = jnp.zeros(())
+    strong = out.get("q_strong", ())
+    if strong:
+        # -P(weak) . log P(strong) per strong view (clsa_builder.py:158-172)
+        p_weak = jax.nn.softmax(jax.lax.stop_gradient(logits_weak), axis=-1)
+        for q_s in strong:
+            logp_s = jax.nn.log_softmax(logits_of(q_s), axis=-1)
+            ddm = ddm - jnp.einsum("nk,nk->n", p_weak, logp_s).mean()
+
+    total = contrastive + clsa_ratio * ddm
+    if strong and clsa_avg:  # clsa_builder.py:174-176
+        total = total / (len(strong) + 1)
+    top1 = 100.0 * (logits_weak.argmax(-1) == labels).mean()
+    metrics = {"loss": total, "moco_loss": contrastive, "top1": top1}
+    if strong:
+        metrics["ddm_loss"] = ddm
+    return total, metrics

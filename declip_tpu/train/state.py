@@ -30,6 +30,8 @@ class TrainState:
     # EMA_logit_scale guard state (declip_solver.py:64-86)
     logit_ema_buffer: Optional[jax.Array] = None
     logit_clip_count: Optional[jax.Array] = None
+    # MoCo/CLSA momentum encoder + negatives queue (moco_builder.py:33-68)
+    ssl: Optional[Any] = None
 
     @property
     def int_step(self) -> int:
@@ -45,6 +47,7 @@ def new_train_state(
     bank_text: Optional[BankState] = None,
     step: int = 0,
     with_logit_guard: bool = False,
+    ssl=None,
 ) -> TrainState:
     return TrainState(
         step=jnp.asarray(step, jnp.int32),
@@ -53,6 +56,7 @@ def new_train_state(
         opt_state=opt_state,
         ema_params=ema_params,
         bank_text=bank_text,
+        ssl=ssl,
         logit_ema_buffer=(
             jnp.asarray(3.125, jnp.float32) if with_logit_guard else None
         ),

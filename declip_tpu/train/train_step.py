@@ -33,6 +33,10 @@ from declip_tpu.train.state import TrainState
 
 
 def method_of(model) -> str:
+    from declip_tpu.models.ssl_builders import SSLModel
+
+    if isinstance(model, SSLModel):
+        return model.ssl_method  # moco | simclr | clsa
     # order matters: DEFILIP subclasses nothing but check most-specific first
     if isinstance(model, DEFILIP):
         return "defilip"
@@ -122,13 +126,40 @@ def make_train_step(
     use_nn_simsiam = bool(getattr(model, "return_simsiam_nn_text", False))
     aug_base_key = jax.random.PRNGKey(seed)
 
-    def loss_fn(params, state: TrainState, batch):
+    ssl_methods = ("moco", "simclr", "clsa")
+
+    def loss_fn(params, state: TrainState, batch, ssl_state=None):
         variables = {"params": params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
         out, mutated = model.apply(
             variables, batch, train=True, mutable=["batch_stats"]
         )
+
+        if method in ssl_methods:
+            ssl_extra = None
+            if method == "simclr":
+                total, metrics = method_losses.simclr_losses(
+                    out, axis_name, temperature=float(model.T))
+            else:
+                # key features through the momentum encoder (encoder_k,
+                # moco_builder.py:118-131) — stop-gradient, own BN stats
+                key_vars = {"params": ssl_state.key_params}
+                if ssl_state.key_batch_stats:
+                    key_vars["batch_stats"] = ssl_state.key_batch_stats
+                x2 = batch["images"][..., 3:6]
+                k, key_mut = model.apply(
+                    key_vars, x2, train=True, mutable=["batch_stats"],
+                    method="encode")
+                k = jax.lax.stop_gradient(k)
+                total, metrics = method_losses.moco_losses(
+                    out, axis_name, k=k, queue=ssl_state.queue,
+                    temperature=float(model.T),
+                    clsa_ratio=float(model.clsa_ratio),
+                    clsa_avg=bool(model.clsa_avg))
+                ssl_extra = (k, key_mut.get("batch_stats"))
+            return total, (metrics, mutated.get("batch_stats"), out,
+                           ssl_extra)
 
         nn_kwargs = {}
         if use_bank:
@@ -168,7 +199,7 @@ def make_train_step(
             )
         else:
             raise NotImplementedError(method)
-        return total, (metrics, mutated.get("batch_stats"), out)
+        return total, (metrics, mutated.get("batch_stats"), out, None)
 
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
         if device_aug is not None:
@@ -182,9 +213,18 @@ def make_train_step(
                 preset=str(device_aug.get("preset", "MOCOV2")),
                 dtype=getattr(model, "dtype", jnp.float32),
             )
-        (total, (metrics, new_stats, out)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params, state, batch)
+        ssl_state = state.ssl
+        if method in ("moco", "clsa") and ssl_state is not None:
+            # momentum-update the key encoder BEFORE computing keys
+            # (moco_builder.py:50-53 + forward order)
+            from declip_tpu.models.ssl_builders import momentum_update
+
+            ssl_state = momentum_update(
+                ssl_state, state.params, float(model.m))
+
+        (total, (metrics, new_stats, out, ssl_extra)), grads = \
+            jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, state, batch, ssl_state)
 
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
@@ -206,6 +246,19 @@ def make_train_step(
             # enqueue aug then orig (declip.py:288-291)
             bank = enqueue(bank, out["text_embed_aug"])
             bank = enqueue(bank, out["text_embed"])
+
+        if ssl_extra is not None:
+            # keys were gathered before enqueue in the reference
+            # (concat_all_gather, moco_builder.py:57-68); under SPMD k is
+            # already global
+            from declip_tpu.models.ssl_builders import enqueue_keys
+            from declip_tpu.ops.contrastive import gather_features
+
+            k, key_stats = ssl_extra
+            if key_stats:
+                ssl_state = ssl_state._replace(key_batch_stats=key_stats)
+            ssl_state = enqueue_keys(
+                ssl_state, gather_features(k, axis_name))
 
         grad_norm = optax.global_norm(grads)
         # Per-step non-finite containment (the host only inspects loss on
@@ -233,6 +286,7 @@ def make_train_step(
             opt_state=_keep_if_finite(opt_state, state.opt_state),
             ema_params=_keep_if_finite(ema_params, state.ema_params),
             bank_text=_keep_if_finite(bank, state.bank_text),
+            ssl=_keep_if_finite(ssl_state, state.ssl),
             logit_ema_buffer=_keep_if_finite(buffer, state.logit_ema_buffer),
             logit_clip_count=_keep_if_finite(count, state.logit_clip_count),
         )
