@@ -29,8 +29,20 @@ def create_logger(log_file: Optional[str] = None, name: str = "declip_tpu",
     logger = logging.getLogger(name)
     logger.setLevel(level)
     logger.propagate = False
-    if logger.handlers:
+    # a second Solver in the same process (resume tests, notebook reuse)
+    # must log to ITS experiment's log.txt — swap the file handler rather
+    # than keep appending to the first run's file
+    current = {
+        h.baseFilename for h in logger.handlers
+        if isinstance(h, logging.FileHandler)
+    }
+    if logger.handlers and (
+            not log_file or os.path.abspath(log_file) in current):
         return logger
+    for h in list(logger.handlers):
+        logger.removeHandler(h)
+        if isinstance(h, logging.FileHandler):
+            h.close()
     fmt = logging.Formatter(
         "%(asctime)s %(levelname)s %(filename)s:%(lineno)d] %(message)s"
     )

