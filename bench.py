@@ -41,7 +41,7 @@ BENCH_STEPS = 20
 
 
 def build(model_name: str, per_chip_batch: int, remat: bool,
-          loss_impl: str = "full"):
+          loss_impl: str = "full", remat_policy: str = "policy"):
     from declip_tpu.config import parse_config
     from declip_tpu.models import model_entry
     from declip_tpu.models.memory_bank import init_bank
@@ -57,8 +57,10 @@ def build(model_name: str, per_chip_batch: int, remat: bool,
             "type": model_name,
             "kwargs": {
                 "image_encode": {"embed_dim": 512, "input_resolution": 224,
-                                 "checkpoint": remat},
-                "text_encode": {"embed_dim": 512, "checkpoint": remat},
+                                 "checkpoint": remat,
+                                 "remat_policy": remat_policy},
+                "text_encode": {"embed_dim": 512, "checkpoint": remat,
+                                "remat_policy": remat_policy},
                 "clip": {"use_allgather": True},
                 "dtype": "bfloat16",
             },
@@ -75,7 +77,8 @@ def build(model_name: str, per_chip_batch: int, remat: bool,
             "type": "declip_res50",
             "kwargs": {
                 "image_encode": {"embed_dim": 1024},
-                "text_encode": {"embed_dim": 1024, "checkpoint": remat},
+                "text_encode": {"embed_dim": 1024, "checkpoint": remat,
+                                "remat_policy": remat_policy},
                 "clip": {"use_allgather": True, "text_mask_type": "MLM",
                          "return_nn_bank": True, "feature_dim": 1024},
                 "dtype": "bfloat16",
@@ -151,9 +154,9 @@ grad_clip: {type: logit_scale_param_value, value: 3, max_value: 6}
 
 
 def run(model_name: str, per_chip_batch: int, remat: bool = False,
-        loss_impl: str = "full"):
+        loss_impl: str = "full", remat_policy: str = "policy"):
     step, state, batch, b, n_chips = build(
-        model_name, per_chip_batch, remat, loss_impl)
+        model_name, per_chip_batch, remat, loss_impl, remat_policy)
     for _ in range(WARMUP_STEPS):
         state, metrics = step(state, batch)
     # force a full device round-trip (block_until_ready can be a no-op
@@ -261,6 +264,9 @@ def run_e2e(per_chip_batch: int, steps: int = 30, workers: int = 16,
 LABELS = {"clip_vitb32": "CLIP ViT-B/32", "clip_vitb16": "CLIP ViT-B/16",
           "declip_res50": "DeCLIP-R50"}
 DEFAULT_BATCH = {"clip_vitb32": 128, "clip_vitb16": 64, "declip_res50": 128}
+# per-model measured optima (paired A/B on v5e, README)
+DEFAULT_REMAT_POLICY = {"clip_vitb32": "dots", "clip_vitb16": "dots",
+                        "declip_res50": "policy"}
 
 
 def _line(model: str, pairs: float, suffix: str = "") -> dict:
@@ -283,6 +289,10 @@ def main():
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--loss-impl", default="full",
                     choices=["full", "chunked", "ring"])
+    # measured per-model optima (paired A/B, README): ViT towers win ~1.7%
+    # saving the attention probs ('dots'); DeCLIP-R50 regresses ~1% with it
+    ap.add_argument("--remat-policy", default=None,
+                    choices=["policy", "dots", "all"])
     ap.add_argument("--e2e", action="store_true",
                     help="include the host input pipeline")
     ap.add_argument("--no-device-aug", action="store_true")
@@ -303,17 +313,22 @@ def main():
     suffix = f", loss_impl={args.loss_impl}" if args.loss_impl != "full" else ""
     if args.model:
         batch = args.batch or DEFAULT_BATCH[args.model]
-        pairs = run(args.model, batch, args.remat, args.loss_impl)
+        pairs = run(args.model, batch, args.remat, args.loss_impl,
+                    args.remat_policy or DEFAULT_REMAT_POLICY[args.model])
         print(json.dumps(_line(args.model, pairs, suffix)))
         return
 
     # driver mode: the BASELINE north star (DeCLIP-R50 full recipe) is the
     # headline; the CLIP ViT-B/32 anchor rides along in 'extra'
     clip_pairs = run("clip_vitb32", args.batch or DEFAULT_BATCH["clip_vitb32"],
-                     args.remat, args.loss_impl)
+                     args.remat, args.loss_impl,
+                     args.remat_policy
+                     or DEFAULT_REMAT_POLICY["clip_vitb32"])
     declip_pairs = run("declip_res50",
                        args.batch or DEFAULT_BATCH["declip_res50"],
-                       args.remat, args.loss_impl)
+                       args.remat, args.loss_impl,
+                       args.remat_policy
+                       or DEFAULT_REMAT_POLICY["declip_res50"])
     out = _line("declip_res50", declip_pairs, suffix)
     out["extra"] = {"clip_vitb32": _line("clip_vitb32", clip_pairs, suffix)}
     print(json.dumps(out))

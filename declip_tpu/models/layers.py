@@ -167,6 +167,15 @@ class Transformer(nn.Module):
     remat: bool = False
     dtype: Dtype = jnp.float32
     attn_impl: str = "xla"
+    # backward memory/recompute trade-off knob (measured on v5e, README):
+    #   'policy' (default) — save MXU outputs w/o batch dims, recompute
+    #       elementwise + attention probs (3.2x less backward memory);
+    #   'dots'   — additionally save the [B,H,L,L] attention probs;
+    #   'all'    — save everything (no recompute; scan still stores each
+    #       layer's residuals — biggest memory).
+    # remat=True (the reference `checkpoint:` kwarg) overrides with full
+    # recompute.
+    remat_policy: str = "policy"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -181,11 +190,13 @@ class Transformer(nn.Module):
             # policy saves ~370MB/layer of elementwise intermediates at
             # B=128 L=77 W=512 — this policy cuts transformer backward
             # memory 3.2x for a few percent of (VPU-only) recompute.
-            block = nn.remat(
-                block,
-                prevent_cse=False,
-                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
-            )
+            policy = {
+                "policy":
+                    jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                "dots": jax.checkpoint_policies.dots_saveable,
+                "all": jax.checkpoint_policies.everything_saveable,
+            }[self.remat_policy]
+            block = nn.remat(block, prevent_cse=False, policy=policy)
         scanned = nn.scan(
             block,
             variable_axes={"params": 0},

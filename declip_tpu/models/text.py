@@ -40,6 +40,7 @@ class TextTransformer(nn.Module):
     transformer_layers: int = 12
     positional_embedding_flag: bool = True
     checkpoint: bool = False
+    remat_policy: str = "policy"  # policy|dots|all (models/layers.py)
     eot_id: Optional[int] = None  # default: vocab_size - 1 (<|endoftext|>)
     dtype: Dtype = jnp.float32
     attn_impl: str = "xla"
@@ -73,6 +74,7 @@ class TextTransformer(nn.Module):
             heads=self.transformer_heads,
             causal=True,
             remat=self.checkpoint,
+            remat_policy=self.remat_policy,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             name="transformer",

@@ -35,6 +35,7 @@ class VisualTransformer(nn.Module):
     heads: int = 12
     embed_dim: int = 512
     checkpoint: bool = False  # reference kwarg name for activation remat
+    remat_policy: str = "policy"  # policy|dots|all (models/layers.py)
     freeze_conv1: bool = True
     dtype: Dtype = jnp.float32
     attn_impl: str = "xla"
@@ -87,6 +88,7 @@ class VisualTransformer(nn.Module):
             layers=self.layers,
             heads=self.heads,
             remat=self.checkpoint,
+            remat_policy=self.remat_policy,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             name="transformer",

@@ -36,57 +36,106 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--model", default="clip_vitb32",
+                    choices=["clip_vitb32", "declip_res50"])
     args = ap.parse_args()
 
+    from declip_tpu.config import parse_config
     from declip_tpu.models import model_entry
+    from declip_tpu.models.memory_bank import init_bank, query_topk
     from declip_tpu.optim import optim_entry, scheduler_entry
     from declip_tpu.train import make_train_step, new_train_state
 
     b = args.batch
-    model = model_entry({
-        "type": "clip_vitb32",
-        "kwargs": {
-            "image_encode": {"embed_dim": 512, "input_resolution": 224,
-                             "checkpoint": args.remat},
-            "text_encode": {"embed_dim": 512, "checkpoint": args.remat},
-            "clip": {"use_allgather": True},
-            "dtype": "bfloat16",
-        },
-    })
     rng = np.random.default_rng(0)
-    batch = {
-        "images": jnp.asarray(
-            rng.normal(size=(b, 224, 224, 3)).astype(np.float32)),
-        "tokens": jnp.asarray(rng.integers(1, 40000, (b, 77)), jnp.int32),
-    }
+    declip = args.model == "declip_res50"
+    if declip:
+        model = model_entry({
+            "type": "declip_res50",
+            "kwargs": {
+                "image_encode": {"embed_dim": 1024},
+                "text_encode": {"embed_dim": 1024,
+                                "checkpoint": args.remat},
+                "clip": {"use_allgather": True, "text_mask_type": "MLM",
+                         "return_nn_bank": True, "feature_dim": 1024},
+                "dtype": "bfloat16",
+            },
+        })
+        labels = np.full((b, 77), -100, np.int32)
+        labels[:, 1:12] = 7
+        batch = {
+            "images": jnp.asarray(
+                rng.normal(size=(b, 224, 224, 6)).astype(np.float32)),
+            "tokens": jnp.asarray(rng.integers(1, 500, (b, 77)), jnp.int32),
+            "tokens_aug": jnp.asarray(
+                rng.integers(1, 500, (b, 77)), jnp.int32),
+            "mlm_tokens": jnp.asarray(
+                rng.integers(1, 500, (b, 77)), jnp.int32),
+            "mlm_labels": jnp.asarray(labels),
+        }
+        cfg = parse_config(
+            "clip_simsiam_loss_weight: {clip_loss: 0.4, nn_text: 0.2, "
+            "simsiam_loss: 0.2, masking_language: 0.2}\n"
+            "data: {train: {image_text_two_view: True}}")
+        bank = init_bank(jax.random.PRNGKey(1), 2 ** 16, 1024)
+    else:
+        model = model_entry({
+            "type": "clip_vitb32",
+            "kwargs": {
+                "image_encode": {"embed_dim": 512, "input_resolution": 224,
+                                 "checkpoint": args.remat},
+                "text_encode": {"embed_dim": 512, "checkpoint": args.remat},
+                "clip": {"use_allgather": True},
+                "dtype": "bfloat16",
+            },
+        })
+        batch = {
+            "images": jnp.asarray(
+                rng.normal(size=(b, 224, 224, 3)).astype(np.float32)),
+            "tokens": jnp.asarray(rng.integers(1, 40000, (b, 77)), jnp.int32),
+        }
+        cfg = {}
+        bank = None
     variables = jax.jit(
         lambda: model.init(jax.random.PRNGKey(0), batch, train=True))()
     params = variables["params"]
+    stats = variables.get("batch_stats", {})
     sched = scheduler_entry(
         {"type": "Cosine", "kwargs": {"base_lr": 0.0, "warmup_lr": 1e-3,
                                       "warmup_steps": 100}}, max_iter=10000)
     tx = optim_entry({"type": "AdamW", "kwargs": {"lr": 1e-3,
                                                   "weight_decay": 0.1}},
                      params, sched)
-    state = new_train_state(params=params, batch_stats={},
-                            opt_state=tx.init(params))
+    state = new_train_state(params=params, batch_stats=stats,
+                            opt_state=tx.init(params), bank_text=bank)
+
+    def vars_of(p):
+        return {"params": p, **({"batch_stats": stats} if stats else {})}
 
     img_fwd = jax.jit(lambda p, x: model.apply(
-        {"params": p}, x, train=False, method="encode_image"))
+        vars_of(p), x, train=False, method="encode_image"))
     txt_fwd = jax.jit(lambda p, t: model.apply(
-        {"params": p}, t, method="encode_text"))
+        vars_of(p), t, method="encode_text"))
 
     def full_loss(p, batch):
-        from declip_tpu.train.method_losses import clip_losses
+        from declip_tpu.train import method_losses
 
-        out = model.apply({"params": p}, batch, train=True)
-        return clip_losses(out, {}, None)[0]
+        out, _ = model.apply(vars_of(p), batch, train=True,
+                             mutable=["batch_stats"])
+        if declip:
+            nn = tuple(jax.lax.stop_gradient(t)
+                       for t in query_topk(bank, out["text_embed"], 1))
+            nna = tuple(jax.lax.stop_gradient(t)
+                        for t in query_topk(bank, out["text_embed_aug"], 1))
+            return method_losses.declip_losses(
+                out, cfg, None, nn_text=nn, nn_text_aug=nna)[0]
+        return method_losses.clip_losses(out, cfg, None)[0]
 
     fwd = jax.jit(full_loss)
     fwd_bwd = jax.jit(lambda p, batch: jax.grad(full_loss)(p, batch))
     grads = fwd_bwd(params, batch)
     opt = jax.jit(lambda g, s, p: tx.update(g, s, p))
-    step = jax.jit(make_train_step(model, tx, {}, sched))
+    step = jax.jit(make_train_step(model, tx, cfg, sched, total_steps=10000))
 
     rows = [
         ("image fwd (eval)", timeit(img_fwd, params, batch["images"])),
@@ -96,7 +145,11 @@ def main():
         ("optimizer update", timeit(opt, grads, state.opt_state, params)),
         ("full train step", timeit(step, state, batch)),
     ]
-    print(f"B={b} remat={args.remat}")
+    if declip:
+        bq = jax.jit(lambda x: query_topk(bank, x, 1))
+        emb = jnp.asarray(rng.normal(size=(b, 1024)), jnp.float32)
+        rows.insert(2, ("bank query_topk", timeit(bq, emb)))
+    print(f"model={args.model} B={b} remat={args.remat}")
     for name, dt in rows:
         print(f"  {name:20s} {dt * 1e3:8.2f} ms   "
               f"{b / dt:10.1f} pairs/s")

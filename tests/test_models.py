@@ -181,3 +181,51 @@ def test_modified_resnet_fc_embed_variant():
     assert "fc" not in v2["params"]
     out2, feat2 = m2.apply(v2, x, train=False, return_feature=True)
     assert out2.shape == feat2.shape == (2, 16)
+
+
+def test_remat_policy_variants_match():
+    """remat_policy is a memory/recompute knob only — outputs and gradients
+    must be identical across policy/dots/all (models/layers.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from declip_tpu.models import model_entry
+
+    def build(policy):
+        return model_entry({
+            "type": "clip_vitb32",
+            "kwargs": {
+                "image_encode": {"embed_dim": 32, "input_resolution": 32,
+                                 "patch_size": 32, "width": 32, "layers": 2,
+                                 "heads": 2, "remat_policy": policy},
+                "text_encode": {"embed_dim": 32, "transformer_width": 32,
+                                "transformer_heads": 2,
+                                "transformer_layers": 2,
+                                "remat_policy": policy},
+                "clip": {"use_allgather": True},
+            },
+        })
+
+    rng_np = np.random.default_rng(0)
+    batch = {
+        "images": jnp.asarray(rng_np.normal(size=(4, 32, 32, 3)), jnp.float32),
+        "tokens": jnp.asarray(rng_np.integers(1, 100, (4, 77)), jnp.int32),
+    }
+    ref_model = build("policy")
+    variables = jax.jit(
+        lambda: ref_model.init(jax.random.PRNGKey(0), batch, train=True))()
+
+    def loss(model, params):
+        out = model.apply({"params": params}, batch, train=True)
+        return (out["image_embed"].sum() + out["text_embed"].sum())
+
+    ref_val, ref_grad = jax.value_and_grad(
+        lambda p: loss(ref_model, p))(variables["params"])
+    for policy in ("dots", "all"):
+        m = build(policy)
+        val, grad = jax.value_and_grad(
+            lambda p: loss(m, p))(variables["params"])
+        np.testing.assert_allclose(float(val), float(ref_val), rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(ref_grad), jax.tree.leaves(grad)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7)
