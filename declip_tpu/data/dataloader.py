@@ -234,6 +234,25 @@ def build_sampler(split_cfg: Dict, dataset_size: int, *, world_size: int = 1,
             last_iter=last_iter,
             seed=seed + rank if stype == "ranked_iteration" else seed,
         )
+    elif total_iter is not None or "max_iter" in split_cfg or \
+            "max_epoch" in split_cfg:
+        # the plain epoch sampler yields ONE epoch per pass (reference
+        # sampler.py:8-54 behaves identically): a train run wanting more
+        # iterations stops at the epoch boundary. Warn loudly — the
+        # iteration samplers are the right tool for multi-epoch training.
+        import logging
+
+        want = total_iter if total_iter is not None else compute_total_iter(
+            split_cfg, dataset_size, world_size)
+        one_epoch = -(-dataset_size //
+                      (world_size * int(split_cfg.get("batch_size", 1))))
+        if want > one_epoch:
+            logging.getLogger("declip").warning(
+                "sampler.type=distributed yields a single epoch (~%d steps) "
+                "per pass but the config asks for %d iterations; training "
+                "will stop at the epoch boundary. Use "
+                "'distributed_iteration' or 'distributed_epoch' for "
+                "multi-epoch runs.", one_epoch, want)
     return SAMPLERS.get(stype)(**kwargs)
 
 

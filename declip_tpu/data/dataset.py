@@ -92,6 +92,34 @@ def _open_meta(path: str):
     return open(path)
 
 
+def _localize_meta(path: str) -> str:
+    """Return a local path for a metafile, downloading gs:// paths once into
+    a content-addressed cache — the fseek mode needs random byte access,
+    which object stores don't give us."""
+    path = str(path)
+    if not path.startswith("gs://"):
+        return path
+    import hashlib
+
+    cache_dir = os.environ.get(
+        "DECLIP_META_CACHE", osp.expanduser("~/.cache/declip_meta"))
+    os.makedirs(cache_dir, exist_ok=True)
+    local = osp.join(
+        cache_dir, hashlib.sha1(path.encode()).hexdigest() + ".jsonl")
+    if not osp.exists(local):
+        import fsspec
+
+        tmp = local + f".tmp.{os.getpid()}"
+        with fsspec.open(path, "rb") as src, open(tmp, "wb") as dst:
+            while True:
+                chunk = src.read(1 << 22)
+                if not chunk:
+                    break
+                dst.write(chunk)
+        os.replace(tmp, local)  # atomic: concurrent workers race safely
+    return local
+
+
 def _split_gcs_path(path: str) -> Tuple[str, str]:
     path = path[5:] if path.startswith("gs://") else path.lstrip("/")
     bucket, _, key = path.partition("/")
@@ -167,11 +195,12 @@ class ClipDataset:
                 self.num += n
                 continue
             if fseek:
-                with open(meta, "rb") as f:
+                meta_local = _localize_meta(meta)  # gs:// -> local cache
+                with open(meta_local, "rb") as f:
                     offset = 0
                     for line in f:
                         if line.strip():
-                            self._offsets.append((meta, offset))
+                            self._offsets.append((meta_local, offset))
                             self.roots.append(root)
                         offset += len(line)
                 self.num = len(self._offsets)
@@ -368,7 +397,7 @@ class ImageNetDataset(ClipDataset):
         self._offsets = []
         self._class_names = class_names
         self._imagenet_fseek = bool(fseek)
-        with open(meta_file) as f:
+        with _open_meta(meta_file) as f:
             for line in f:
                 parts = line.strip().rsplit(maxsplit=1)
                 if not parts:

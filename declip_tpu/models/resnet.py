@@ -182,6 +182,10 @@ class AttentionPool2d(nn.Module):
     num_heads: int
     output_dim: int
     dtype: Dtype = jnp.float32
+    # grid size the positional embedding is parameterized at; inputs at other
+    # spatial sizes bilinearly interpolate it (used by the SSL builders'
+    # multi-resolution views). None = parameterize at the first-seen size.
+    trained_grid: Optional[int] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -190,11 +194,17 @@ class AttentionPool2d(nn.Module):
         tokens = x.reshape(b, h * w, c)
         mean_tok = tokens.mean(axis=1, keepdims=True)
         tokens = jnp.concatenate([mean_tok, tokens], axis=1)  # [B, HW+1, C]
+        g0 = self.trained_grid or h
         pos = self.param(
             "positional_embedding",
             nn.initializers.normal(stddev=c ** -0.5),
-            (h * w + 1, c),
+            (g0 * g0 + 1, c),
         )
+        if (h, w) != (g0, g0):
+            grid = pos[1:].reshape(g0, g0, c).astype(jnp.float32)
+            grid = jax.image.resize(grid, (h, w, c), method="bilinear")
+            pos = jnp.concatenate(
+                [pos[:1].astype(jnp.float32), grid.reshape(h * w, c)], axis=0)
         tokens = tokens + pos.astype(self.dtype)
 
         std = c ** -0.5
@@ -230,6 +240,10 @@ class ModifiedResNet(nn.Module):
     # modified_resnet_modified.py variant: attnpool emits the raw width*32
     # feature and a separate fc projects to embed_dim (fc_embed=True)
     fc_embed: bool = False
+    # route EVERY resolution through attnpool (pos-emb interpolated) instead
+    # of the reference's mean+fc fallback for non-input_resolution inputs —
+    # the SSL builders need one consistent head across CLSA's multi-res views
+    attnpool_all_res: bool = False
 
     @nn.compact
     def __call__(
@@ -263,10 +277,11 @@ class ModifiedResNet(nn.Module):
                 )(x, train=train)
 
         dense = x.reshape(x.shape[0], -1, x.shape[-1])  # [B, HW, C]
-        if x.shape[1] == self.input_resolution // 32:
+        if x.shape[1] == self.input_resolution // 32 or self.attnpool_all_res:
             pool_dim = w * 32 if self.fc_embed else self.embed_dim
             feature = AttentionPool2d(
-                self.heads, pool_dim, dtype=self.dtype, name="attnpool"
+                self.heads, pool_dim, dtype=self.dtype,
+                trained_grid=self.input_resolution // 32, name="attnpool"
             )(x)
             pooled = nn.Dense(
                 self.embed_dim, dtype=self.dtype, name="fc"

@@ -10,8 +10,10 @@ TPU translation notes:
   BatchNorm statistics are already global across the mesh, which removes the
   information leak ShuffleBN patches; an optional batch permutation is kept
   for strict parity experiments.
-- SimCLR is a thin projector head + NT-Xent (declip_tpu.losses.nt_xent).
+- SimCLR is a thin projector head + NT-Xent.
 - CLSA adds the stronger-augmentation DDM loss on top of MoCo.
+- The loss math lives in ONE place — train/method_losses.py
+  ({moco,simclr}_losses) — this module holds the model/state machinery only.
 """
 
 from __future__ import annotations
@@ -22,8 +24,6 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from declip_tpu.losses import nt_xent
-from declip_tpu.models.heads import ProjectionMLP
 
 
 class MoCoState(NamedTuple):
@@ -62,20 +62,6 @@ def enqueue_keys(state: MoCoState, keys: jax.Array) -> MoCoState:
     return state._replace(queue=queue, queue_ptr=ptr)
 
 
-def moco_loss(q: jax.Array, k: jax.Array, queue: jax.Array,
-              temperature: float = 0.07) -> jax.Array:
-    """InfoNCE with the queue as negatives (moco_builder forward)."""
-    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
-    k = jax.lax.stop_gradient(
-        k / jnp.linalg.norm(k, axis=-1, keepdims=True))
-    l_pos = jnp.einsum("nd,nd->n", q, k)[:, None]
-    l_neg = jnp.einsum("nd,kd->nk", q, queue)
-    logits = jnp.concatenate([l_pos, l_neg], axis=1) / temperature
-    labels = jnp.zeros((q.shape[0],), jnp.int32)
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    return -logp[jnp.arange(q.shape[0]), labels].mean()
-
-
 class SimCLRHead(nn.Module):
     """2-layer projection head (simclr_builder.py)."""
 
@@ -88,23 +74,6 @@ class SimCLRHead(nn.Module):
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
         x = nn.relu(x)
         return nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
-
-
-def simclr_loss(z1: jax.Array, z2: jax.Array, temperature: float = 0.5
-                ) -> jax.Array:
-    return nt_xent(z1, z2, temperature)
-
-
-def clsa_ddm_loss(strong_logits: jax.Array, weak_logits: jax.Array,
-                  temperature: float = 0.2) -> jax.Array:
-    """CLSA distributional divergence: CE between the weak view's sharpened
-    distribution and the strong view's (clsa_builder.py)."""
-    target = jax.nn.softmax(
-        jax.lax.stop_gradient(weak_logits).astype(jnp.float32) / temperature,
-        axis=-1,
-    )
-    logp = jax.nn.log_softmax(strong_logits.astype(jnp.float32), axis=-1)
-    return -(target * logp).sum(axis=-1).mean()
 
 
 class SSLModel(nn.Module):
@@ -162,6 +131,12 @@ class SSLModel(nn.Module):
 
     def __call__(self, batch, *, train: bool = True):
         images = batch["images"] if isinstance(batch, dict) else batch
+        if images.shape[-1] < 6:
+            # a single-view transform (e.g. STANDARD_CLIP) silently yields a
+            # zero-channel second view downstream — refuse at trace time
+            raise ValueError(
+                f"{self.ssl_method} needs a two-view transform (6-channel "
+                f"images, e.g. MOCOV2); got {images.shape[-1]} channels")
         x1 = images[..., :3]
         out = {"q": self.encode(x1, train=train)}
         if self.ssl_method == "simclr":
@@ -198,6 +173,11 @@ def _build_ssl(method: str, kwargs: dict) -> SSLModel:
                "vitb32": visual_transformer_B32,
                "vitb16": visual_transformer_B16}[arch]
     image_kwargs.setdefault("embed_dim", 2048)
+    if arch.startswith("res"):
+        # one consistent pooling head across CLSA's multi-resolution views
+        # (the reference's base_encoder pools identically at every size);
+        # ViT handles off-resolution inputs natively (pos-emb interpolation)
+        image_kwargs.setdefault("attnpool_all_res", True)
     ssl = dict(kwargs.pop("ssl", None) or {})
     ssl.update(kwargs)  # flat kwargs also accepted
     ssl.setdefault("hidden_dim", int(image_kwargs["embed_dim"]))

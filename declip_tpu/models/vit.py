@@ -45,7 +45,8 @@ class VisualTransformer(nn.Module):
         self,
         x: jax.Array,
         *,
-        return_dense: bool = False,
+        train: bool = True,  # no BN/dropout — accepted for a uniform
+        return_dense: bool = False,  # encoder interface (ResNet needs it)
         return_feature: bool = False,
     ):
         """x: [B, H, W, 3] (NHWC) -> [B, embed_dim] (+ optional extras).
@@ -53,15 +54,19 @@ class VisualTransformer(nn.Module):
         Matches visual_transformer.py:56-84: dense = patch tokens before
         ln_post, feature = pre-projection CLS.
         """
-        b = x.shape[0]
+        b, h, w = x.shape[0], x.shape[1], x.shape[2]
         p = self.patch_size
-        g = self.input_resolution // p
+        if h % p or w % p:
+            raise ValueError(
+                f"input {h}x{w} is not a multiple of patch_size={p}")
+        gh, gw = h // p, w // p
+        g0 = self.input_resolution // p  # grid the pos-emb was trained at
         scale = self.width ** -0.5
 
-        # space-to-depth patchify: [B,H,W,3] -> [B, g*g, p*p*3] -> Dense
+        # space-to-depth patchify: [B,H,W,3] -> [B, gh*gw, p*p*3] -> Dense
         x = x.astype(self.dtype)
-        x = x.reshape(b, g, p, g, p, 3).transpose(0, 1, 3, 2, 4, 5)
-        x = x.reshape(b, g * g, p * p * 3)
+        x = x.reshape(b, gh, p, gw, p, 3).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(b, gh * gw, p * p * 3)
         x = nn.Dense(
             self.width,
             use_bias=False,
@@ -76,8 +81,18 @@ class VisualTransformer(nn.Module):
         pos = self.param(
             "positional_embedding",
             nn.initializers.normal(stddev=0.01),
-            (g * g + 1, self.width),
+            (g0 * g0 + 1, self.width),
         )
+        if (gh, gw) != (g0, g0):
+            # off-train-resolution input (e.g. CLSA multi-resolution strong
+            # views): bilinearly interpolate the patch grid of the positional
+            # embedding — standard ViT practice; exact no-op at (g0, g0)
+            grid = pos[1:].reshape(g0, g0, self.width).astype(jnp.float32)
+            grid = jax.image.resize(
+                grid, (gh, gw, self.width), method="bilinear")
+            pos = jnp.concatenate(
+                [pos[:1].astype(jnp.float32),
+                 grid.reshape(gh * gw, self.width)], axis=0)
         x = jnp.concatenate(
             [jnp.broadcast_to(cls.astype(self.dtype), (b, 1, self.width)), x], axis=1
         )

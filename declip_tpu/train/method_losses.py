@@ -327,8 +327,11 @@ def moco_losses(out, axis_name, *, k, queue, temperature: float = 0.07,
     ddm = jnp.zeros(())
     strong = out.get("q_strong", ())
     if strong:
-        # -P(weak) . log P(strong) per strong view (clsa_builder.py:158-172)
-        p_weak = jax.nn.softmax(jax.lax.stop_gradient(logits_weak), axis=-1)
+        # -P(weak) . log P(strong) per strong view (clsa_builder.py:158-172).
+        # NOTE: the reference backpropagates through P(weak) too (p_weak is
+        # softmax of the grad-carrying q logits, clsa_builder.py:157) — no
+        # stop-gradient here on purpose.
+        p_weak = jax.nn.softmax(logits_weak, axis=-1)
         for q_s in strong:
             logp_s = jax.nn.log_softmax(logits_of(q_s), axis=-1)
             ddm = ddm - jnp.einsum("nk,nk->n", p_weak, logp_s).mean()

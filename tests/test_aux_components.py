@@ -115,9 +115,9 @@ def test_moco_builder():
     from declip_tpu.models.ssl_builders import (
         enqueue_keys,
         init_moco_state,
-        moco_loss,
         momentum_update,
     )
+    from declip_tpu.train.method_losses import moco_losses
 
     params = {"w": jnp.ones((4, 4))}
     st = init_moco_state(params, jax.random.PRNGKey(0), queue_size=16, dim=8)
@@ -125,21 +125,39 @@ def test_moco_builder():
     np.testing.assert_allclose(np.asarray(st2.key_params["w"]),
                                0.9 * np.ones((4, 4)))
     q = jnp.ones((4, 8))
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
     st3 = enqueue_keys(st2, q)
     assert int(st3.queue_ptr) == 4
-    loss = moco_loss(q, q, st3.queue)
+    loss, metrics = moco_losses({"q": q}, None, k=q, queue=st3.queue)
     assert np.isfinite(float(loss))
+    # positive (identical q==k) must beat the random negatives
+    assert float(metrics["top1"]) > 0
 
 
 def test_clsa_ddm_and_simclr():
-    from declip_tpu.models.ssl_builders import clsa_ddm_loss, simclr_loss
+    """CLSA DDM grads flow through BOTH the strong and the weak branch
+    (clsa_builder.py:157 computes p_weak WITH gradient)."""
+    from declip_tpu.train.method_losses import moco_losses, simclr_losses
 
     rng = np.random.default_rng(0)
     z1 = jnp.asarray(rng.normal(size=(8, 16)), jnp.float32)
     z2 = jnp.asarray(rng.normal(size=(8, 16)), jnp.float32)
-    assert np.isfinite(float(simclr_loss(z1, z2)))
-    logits = jnp.asarray(rng.normal(size=(8, 32)), jnp.float32)
-    assert np.isfinite(float(clsa_ddm_loss(logits, logits + 0.1)))
+    z1 = z1 / jnp.linalg.norm(z1, axis=-1, keepdims=True)
+    z2 = z2 / jnp.linalg.norm(z2, axis=-1, keepdims=True)
+    loss, _ = simclr_losses({"q": z1, "z2": z2}, None)
+    assert np.isfinite(float(loss))
+
+    queue = jnp.asarray(rng.normal(size=(32, 16)), jnp.float32)
+    queue = queue / jnp.linalg.norm(queue, axis=-1, keepdims=True)
+
+    def ddm_only(q, q_s):
+        total, m = moco_losses(
+            {"q": q, "q_strong": (q_s,)}, None, k=z2, queue=queue)
+        return m["ddm_loss"]
+
+    gq, gs = jax.grad(ddm_only, argnums=(0, 1))(z1, z2)
+    assert float(jnp.abs(gq).sum()) > 0  # weak branch gets gradient
+    assert float(jnp.abs(gs).sum()) > 0  # strong branch gets gradient
 
 
 def test_native_lib_if_available(tmp_path):

@@ -1,5 +1,7 @@
+import io
 import json
 import os
+import os.path as osp
 
 import numpy as np
 import pytest
@@ -285,3 +287,61 @@ def test_gcs_backend_reads_bytes(tmp_path):
     item = ds[0]
     assert item["caption"] == "a green square"
     assert np.asarray(item["image"]).shape == (48, 48, 3)
+
+
+def test_gcs_metafiles_all_paths(tmp_path, monkeypatch):
+    """gs:// metafiles work on EVERY meta-reading path: the in-RAM scan
+    (_open_meta), the fseek byte-offset scan (_localize_meta downloads to a
+    local cache once — object stores have no random access), and
+    ImageNetDataset's whitespace metafile."""
+    import json as _json
+    import sys
+    import types
+
+    from declip_tpu.data import dataset as ds_mod
+
+    jsonl = b"".join(
+        _json.dumps({"filename": f"i_{i}.jpg", "caption": f"cap {i}"}
+                    ).encode() + b"\n" for i in range(5))
+    in_meta = b"n01/a.JPEG 0\nn02/b.JPEG 1\n"
+    store = {"gs://bkt/train.jsonl": jsonl, "gs://bkt/val.txt": in_meta}
+
+    class FakeFile(io.BytesIO):
+        def __init__(self, data, mode):
+            super().__init__(data)
+            self._text = "b" not in mode
+
+        def open(self):
+            return (io.TextIOWrapper(io.BytesIO(self.getvalue()))
+                    if self._text else io.BytesIO(self.getvalue()))
+
+        def __enter__(self):
+            return self.open() if self._text else self
+
+        def __exit__(self, *a):
+            return False
+
+    fake = types.ModuleType("fsspec")
+    fake.open = lambda path, mode="r": FakeFile(store[path], mode)
+    monkeypatch.setitem(sys.modules, "fsspec", fake)
+    monkeypatch.setenv("DECLIP_META_CACHE", str(tmp_path / "meta_cache"))
+
+    # in-RAM scan
+    d1 = ds_mod.ClipDataset(root_dir="", meta_file="gs://bkt/train.jsonl",
+                            read_from="fake")
+    assert len(d1) == 5 and d1._meta(2)["caption"] == "cap 2"
+    # fseek scan: downloaded once, offsets point at the LOCAL cache file
+    d2 = ds_mod.ClipDataset(root_dir="", meta_file="gs://bkt/train.jsonl",
+                            read_from="fake", fseek=True)
+    assert len(d2) == 5
+    local_path = d2._offsets[0][0]
+    assert not local_path.startswith("gs://") and osp.exists(local_path)
+    assert d2._meta(3)["caption"] == "cap 3"
+    # second construction hits the cache (no fsspec call): poison the store
+    store.pop("gs://bkt/train.jsonl")
+    d3 = ds_mod.ClipDataset(root_dir="", meta_file="gs://bkt/train.jsonl",
+                            read_from="fake", fseek=True)
+    assert d3._meta(1)["caption"] == "cap 1"
+    # ImageNet whitespace metafile
+    d4 = ds_mod.ImageNetDataset(root_dir="", meta_file="gs://bkt/val.txt")
+    assert len(d4) == 2 and d4._meta(1)["label"] == 1

@@ -121,6 +121,47 @@ def test_clsa_trains_with_strong_views():
     assert int(state.ssl.queue_ptr) == 8
 
 
+def test_clsa_vit_multires_strong_views():
+    """ViT towers must accept CLSA's off-train-resolution strong views
+    (pos-emb grid interpolation; previously a reshape crash)."""
+    model = model_entry({
+        "type": "clsa_vitb32",
+        "kwargs": {
+            "image_encode": {"embed_dim": 32, "input_resolution": 32,
+                             "patch_size": 16, "width": 16, "layers": 1,
+                             "heads": 2},
+            "dim": 16, "K": 64, "m": 0.9,
+        },
+    })
+    batch = _batch(strong_res=(16, 48))  # 1x1 and 3x3 patch grids vs 2x2
+    state, tx, sched = _setup(model, batch)
+    step = jax.jit(make_train_step(model, tx, {}, sched))
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["ddm_loss"]))
+
+
+def test_clsa_resnet_strong_views_share_pool_head():
+    """All CLSA views route through the SAME attnpool head (the reference's
+    base_encoder pools identically at every resolution); without
+    attnpool_all_res the strong views would silently train a separate
+    mean+fc parameterization."""
+    model = _model("clsa")
+    assert model.visual.attnpool_all_res
+    batch = _batch(strong_res=(64,))
+    variables = jax.jit(
+        lambda: model.init(jax.random.PRNGKey(0), batch, train=True))()
+    assert "fc" not in variables["params"]["visual"]
+    assert "attnpool" in variables["params"]["visual"]
+
+
+def test_ssl_single_view_transform_refused():
+    model = _model("moco")
+    bad = {"images": jnp.zeros((2, RES, RES, 3))}  # single 3-channel view
+    with pytest.raises(ValueError, match="two-view"):
+        model.init(jax.random.PRNGKey(0), bad, train=True)
+
+
 def test_clsa_loader_batches_multiview(tmp_path):
     from declip_tpu.data.dataloader import ClipDataLoader
     from declip_tpu.data.dataset import ClipDataset
