@@ -39,6 +39,29 @@ def l2_normalize(x: jax.Array, eps: float = 0.0) -> jax.Array:
     return x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + eps)
 
 
+def compact_mlm(words: jax.Array, labels: jax.Array, max_positions: int):
+    """Gather (up to) ``max_positions`` masked token positions ahead of the
+    vocab-sized MLM projection.
+
+    The reference projects ALL context positions to vocab size and lets
+    CrossEntropy(ignore_index=-100) discard the unmasked rows
+    (declip.py:326-334) — at vocab 49409 / B=128 that materializes a
+    [B, 77, V] logits tensor (~1.9 GB fp32) of which only ~15% of rows carry
+    gradient. A stable argsort puts the masked positions first (in sequence
+    order); truncating to a static cap keeps the CE *bit-identical* whenever
+    the per-sequence masked count <= max_positions (P(count > 24) < 1e-4 for
+    15% masking of 77 tokens) while cutting MLM-head FLOPs and logits memory
+    ~70%. Positions past the cap are dropped (documented delta).
+    """
+    masked = labels != -100
+    order = jnp.argsort(
+        jnp.logical_not(masked).astype(jnp.int32), axis=1, stable=True)
+    order = order[:, :max_positions]
+    words = jnp.take_along_axis(words, order[..., None], axis=1)
+    labels = jnp.take_along_axis(labels, order, axis=1)
+    return words, labels
+
+
 def _takes_train(module: nn.Module) -> bool:
     # ResNet towers thread a `train` flag for BatchNorm; ViT/text do not.
     return "train" in inspect.signature(type(module).__call__).parameters

@@ -28,6 +28,7 @@ from declip_tpu.models.clip_model import (
     LOGIT_SCALE_MAX,
     build_towers,
     call_tower,
+    compact_mlm,
     l2_normalize,
 )
 from declip_tpu.models.heads import PredictionMLP, ProjectionMLP
@@ -52,6 +53,10 @@ class DECLIP(nn.Module):
     EDA: bool = True
     feature_dim: int = 1024
     forward_type: str = "split"
+    # static cap on MLM positions per sequence: the vocab projection runs
+    # only on the masked positions (clip_model.compact_mlm). 0/None = the
+    # reference's full [B, L, vocab] logits.
+    mlm_max_positions: int = 24
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -86,8 +91,15 @@ class DECLIP(nn.Module):
         if mlm:
             # main text forward runs on MASKED tokens (declip.py:214-216)
             text_embed, words = self.text(batch["mlm_tokens"], return_dense=True)
-            out["mlm_logits"] = self.text_label_predictor(words)
-            out["mlm_labels"] = batch["mlm_labels"]
+            labels = batch["mlm_labels"]
+            if self.mlm_max_positions and \
+                    self.mlm_max_positions < words.shape[1]:
+                words_mlm, labels = compact_mlm(
+                    words, labels, self.mlm_max_positions)
+            else:
+                words_mlm = words
+            out["mlm_logits"] = self.text_label_predictor(words_mlm)
+            out["mlm_labels"] = labels
         else:
             text_embed = self.text(batch["tokens"])
         text_embed_aug = self.text(batch["tokens_aug"])

@@ -24,6 +24,7 @@ from declip_tpu.models.clip_model import (
     LOGIT_SCALE_MAX,
     build_towers,
     call_tower,
+    compact_mlm,
     l2_normalize,
 )
 from declip_tpu.models.filip_model import topk_token_select
@@ -55,6 +56,8 @@ class DEFILIP(nn.Module):
     dense_aug: bool = False
     select_topk: bool = True
     top_k: int = 16
+    # see declip_model.DECLIP.mlm_max_positions
+    mlm_max_positions: int = 24
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -106,8 +109,15 @@ class DEFILIP(nn.Module):
         out: Dict[str, Any] = {}
         if mlm:
             text_embed, words = self.text(batch["mlm_tokens"], return_dense=True)
-            out["mlm_logits"] = self.text_label_predictor(words)
-            out["mlm_labels"] = batch["mlm_labels"]
+            labels = batch["mlm_labels"]
+            if self.mlm_max_positions and \
+                    self.mlm_max_positions < words.shape[1]:
+                words_mlm, labels = compact_mlm(
+                    words, labels, self.mlm_max_positions)
+            else:
+                words_mlm = words
+            out["mlm_logits"] = self.text_label_predictor(words_mlm)
+            out["mlm_labels"] = labels
             # aug text: unmasked, dense (defilip.py:292)
             text_embed_aug, words_aug = self.text(
                 batch["tokens_aug"], return_dense=True

@@ -27,6 +27,7 @@ from declip_tpu.models.clip_model import (
     LOGIT_SCALE_MAX,
     build_towers,
     call_tower,
+    compact_mlm,
     l2_normalize,
 )
 from declip_tpu.models.resnet import modified_resnet_R50
@@ -74,6 +75,8 @@ class FILIP(nn.Module):
     return_simsiam: bool = False
     two_view: bool = False
     sparse: bool = False
+    # see declip_model.DECLIP.mlm_max_positions
+    mlm_max_positions: int = 24
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -122,8 +125,15 @@ class FILIP(nn.Module):
         text_tokens = batch["mlm_tokens"] if mlm else batch["tokens"]
         text_embed, words = self.text(text_tokens, return_dense=True)
         if mlm:
-            out["mlm_logits"] = self.text_label_predictor(words)
-            out["mlm_labels"] = batch["mlm_labels"]
+            labels = batch["mlm_labels"]
+            if self.mlm_max_positions and \
+                    self.mlm_max_positions < words.shape[1]:
+                words_mlm, labels = compact_mlm(
+                    words, labels, self.mlm_max_positions)
+            else:
+                words_mlm = words
+            out["mlm_logits"] = self.text_label_predictor(words_mlm)
+            out["mlm_labels"] = labels
 
         image_embed, image_dense = call_tower(
             self.visual, images, train=train, return_dense=True

@@ -92,8 +92,54 @@ def test_declip_mlm():
     assert out["text_embed_aug"].shape == (B, 64)
     p1, z1, p2, z2 = out["simsiam"]
     assert p1.shape == z1.shape == (B, 1024)
-    # vocab = 515 fallback
-    assert out["mlm_logits"].shape[:2] == (B, 77)
+    # vocab-sized logits only on the (<=24) compact masked positions
+    assert out["mlm_logits"].shape[:2] == (B, 24)
+    assert out["mlm_labels"].shape == (B, 24)
+
+
+def test_compact_mlm_matches_full():
+    """The compact MLM head (vocab logits only on masked positions,
+    clip_model.compact_mlm) gives a bit-identical CE to the reference's
+    full [B, L, vocab] path whenever masked-count <= the cap."""
+    from declip_tpu.losses import mlm_loss
+
+    kwargs = {"use_allgather": True, "text_mask_type": "MLM",
+              "feature_dim": 64}
+    compact = build("declip_vitb32", kwargs)
+    full = build("declip_vitb32", {**kwargs, "mlm_max_positions": 0})
+    assert compact.mlm_max_positions == 24
+
+    batch = batch_for(2, mlm=True, aug=True)
+    labels = np.full((B, 77), -100, np.int64)
+    labels[0, [1, 5, 9, 30]] = [7, 8, 9, 10]  # 4 masked, scattered
+    labels[1, [0, 76]] = [3, 4]
+    batch["mlm_labels"] = jnp.asarray(labels)
+
+    variables = jax.jit(
+        lambda: full.init(jax.random.PRNGKey(0), batch, train=True))()
+    out_f, _ = full.apply(variables, batch, train=True,
+                          mutable=["batch_stats"])
+    out_c, _ = compact.apply(variables, batch, train=True,
+                             mutable=["batch_stats"])
+    assert out_f["mlm_logits"].shape[1] == 77
+    assert out_c["mlm_logits"].shape[1] == 24
+    lf = float(mlm_loss(out_f["mlm_logits"], out_f["mlm_labels"]))
+    lc = float(mlm_loss(out_c["mlm_logits"], out_c["mlm_labels"]))
+    np.testing.assert_allclose(lc, lf, rtol=1e-5)
+
+    # gradients through the text tower agree too
+    def loss_of(model):
+        def f(params):
+            out, _ = model.apply(
+                {**variables, "params": params}, batch, train=True,
+                mutable=["batch_stats"])
+            return mlm_loss(out["mlm_logits"], out["mlm_labels"])
+        return jax.grad(f)(variables["params"])
+
+    gf, gc = loss_of(full), loss_of(compact)
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gc)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
 
 
 def test_filip_dense():
