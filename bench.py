@@ -25,9 +25,10 @@ import jax.numpy as jnp
 import numpy as np
 
 # persistent compile cache: repeat bench runs skip the (remote, slow) XLA
-# compile entirely
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# compile entirely (CPU entries machine-scoped — see utils/compile_cache.py)
+from declip_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
 
 # public A100 throughput anchors (pairs/sec/GPU)
 A100_BASELINE = {

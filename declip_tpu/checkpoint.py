@@ -26,16 +26,35 @@ from flax import serialization
 
 CKPT_RE = re.compile(r"ckpt_(\d+)\.msgpack$")
 
+# single-worker writer so async saves serialize + land in submission order.
+# Device ops (device_get) stay on the CALLER's thread — background-thread
+# device transfers deadlock some remote-execution clients (CLAUDE.md).
+_writer = None
+_pending: list = []
 
-def save_checkpoint(ckpt_dir: str, state, *, save_many: bool = False,
-                    k_times_dir: Optional[str] = None) -> str:
-    """Host-side save (call on process 0). Returns the written path."""
-    os.makedirs(ckpt_dir, exist_ok=True)
-    step = int(state.step)
-    state = jax.device_get(state)
-    blob = serialization.to_bytes(state)
-    name = f"ckpt_{step}.msgpack" if save_many else "ckpt.msgpack"
-    path = os.path.join(ckpt_dir, name)
+
+def _get_writer():
+    global _writer
+    if _writer is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _writer = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="ckpt-writer")
+    return _writer
+
+
+def wait_for_pending_saves() -> None:
+    """Block until every async save has hit disk (call before reading a
+    just-written checkpoint, at rollback, and at train end)."""
+    global _pending
+    for f in _pending:
+        f.result()
+    _pending = []
+
+
+def _write_state(host_state, step: int, path: str, ckpt_dir: str,
+                 k_times_dir: Optional[str]) -> str:
+    blob = serialization.to_bytes(host_state)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(blob)
@@ -51,6 +70,27 @@ def save_checkpoint(ckpt_dir: str, state, *, save_many: bool = False,
             f.write(blob)
         os.replace(k_path + ".tmp", k_path)  # archival copy must be atomic
     return path
+
+
+def save_checkpoint(ckpt_dir: str, state, *, save_many: bool = False,
+                    k_times_dir: Optional[str] = None,
+                    async_write: bool = False) -> str:
+    """Host-side save (call on process 0). Returns the written path.
+
+    ``async_write=True`` overlaps the msgpack serialization + file write
+    (seconds for GB-scale states) with training on a single writer thread;
+    the device->host transfer still happens here, synchronously, so the
+    donated train state can't be mutated under the writer."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    step = int(state.step)
+    host_state = jax.device_get(state)
+    name = f"ckpt_{step}.msgpack" if save_many else "ckpt.msgpack"
+    path = os.path.join(ckpt_dir, name)
+    if async_write:
+        _pending.append(_get_writer().submit(
+            _write_state, host_state, step, path, ckpt_dir, k_times_dir))
+        return path
+    return _write_state(host_state, step, path, ckpt_dir, k_times_dir)
 
 
 def find_last_checkpoint(ckpt_dir: str) -> Optional[str]:

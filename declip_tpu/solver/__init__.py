@@ -43,6 +43,7 @@ from declip_tpu.checkpoint import (
     list_checkpoints,
     restore_checkpoint,
     save_checkpoint,
+    wait_for_pending_saves,
 )
 from declip_tpu.config import Cfg, parse_config
 from declip_tpu.data.dataloader import (
@@ -74,16 +75,13 @@ from declip_tpu.utils import AverageMeter, MeterGroup, ScalarWriter, create_logg
 def _enable_compile_cache():
     """Persistent XLA compile cache — first-run compiles of the big train
     steps take minutes (especially through remote-compile tunnels); every
-    later solver start is then instant."""
-    import os
-
+    later solver start is then instant. CPU entries are machine-scoped
+    (declip_tpu/utils/compile_cache.py — foreign-host CPU AOT entries can
+    SIGILL)."""
     try:
-        cache = os.environ.get(
-            "JAX_COMPILATION_CACHE_DIR",
-            os.path.join(os.path.expanduser("~"), ".cache", "jax_comp_cache"),
-        )
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        from declip_tpu.utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
     except Exception:
         pass
 
@@ -164,7 +162,12 @@ class Solver:
     def build_data(self):
         dcfg = self.normalize_data_config(self.config.get("data") or {})
         train_cfg = dict(dcfg.get("train") or {})
-        train_cfg.setdefault("transforms", {"type": "STANDARD_CLIP"})
+        # pure-vision SSL methods need a two-view transform; STANDARD_CLIP's
+        # single 3-channel view would leave the key branch a zero-channel
+        # slice (the model also refuses <6 channels at trace time)
+        default_aug = {"moco": "MOCOV2", "simclr": "SIMCLR",
+                       "clsa": "CLSA"}.get(self.method, "STANDARD_CLIP")
+        train_cfg.setdefault("transforms", {"type": default_aug})
         self.per_chip_batch = int(train_cfg.get("batch_size", 8))
         # reference batch_size is per-rank(=per-GPU); per-host loader batch =
         # per-chip x local chips, sharded over the mesh by the train step
@@ -473,8 +476,11 @@ class Solver:
                 elif self.rank == 0:
                     k_dir = (self.path.ckpt_k_times_path
                              if step % (save_freq * 20) == 0 else None)
-                    save_checkpoint(self.path.ckpt_path, self.state,
-                                    save_many=save_many, k_times_dir=k_dir)
+                    save_checkpoint(
+                        self.path.ckpt_path, self.state,
+                        save_many=save_many, k_times_dir=k_dir,
+                        async_write=bool(self.config.get_path(
+                            "saver.async_save", True)))
                     gc_checkpoints(self.path.ckpt_path, keep=10)
 
         if self.config.get_path("saver.backend") == "orbax":
@@ -486,6 +492,9 @@ class Solver:
             save_checkpoint_orbax(self.path.ckpt_path, self.state)
             wait_for_orbax()
         elif self.rank == 0:
+            # drain in-flight async writes BEFORE the final synchronous save
+            # (they share ckpt_meta.json; last writer must be the newest)
+            wait_for_pending_saves()
             save_checkpoint(self.path.ckpt_path, self.state, save_many=True)
         self.validate(step)
         self.writer.close()
@@ -540,6 +549,7 @@ class Solver:
             self.logger.warning(
                 f"loss spike/NaN at step {step} (rollback disabled)")
             return False
+        wait_for_pending_saves()  # in-flight async writes must land first
         ckpts = list_checkpoints(self.path.ckpt_path)
         if not ckpts:
             self.logger.warning("spike but no checkpoint to roll back to")

@@ -1,0 +1,55 @@
+"""Persistent XLA compile-cache setup, safe across machine types.
+
+XLA:CPU persists ahead-of-time executables whose generated code embeds host
+CPU features that are NOT part of the persistent-cache key. Loading another
+machine's entries logs ``Target machine feature +prefer-no-scatter is not
+supported ... could lead to execution errors such as SIGILL`` and can kill
+the process with a fatal signal mid-test (observed on this repo's
+reference-config run tests after the cache directory migrated hosts).
+Accelerator (TPU) executables are serialized portably.
+
+Therefore: CPU backends use a machine-fingerprinted subdirectory (stale
+same-machine entries still hit; foreign entries never load), while
+accelerator backends share the stable directory so remote 5-15 min TPU
+compiles stay warm.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import platform
+from typing import Optional
+
+
+def machine_fingerprint() -> str:
+    """Stable per-CPU-type fingerprint (flags line of /proc/cpuinfo)."""
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = line.strip()
+                    break
+    except OSError:
+        pass
+    if not flags:
+        flags = f"{platform.machine()}-{platform.processor()}"
+    return hashlib.sha1(flags.encode()).hexdigest()[:10]
+
+
+def enable_compile_cache(base: Optional[str] = None) -> str:
+    """Point JAX's persistent compilation cache at a backend-appropriate
+    directory and return it. Respects $JAX_COMPILATION_CACHE_DIR as the
+    base. Initializes the default backend (to know whether we're on CPU)."""
+    import jax
+
+    base = base or os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "jax_comp_cache"),
+    )
+    if jax.default_backend() == "cpu":
+        base = f"{base}_cpu_{machine_fingerprint()}"
+    jax.config.update("jax_compilation_cache_dir", base)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    return base

@@ -21,9 +21,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 # eager per-op dispatch is very slow in this environment; persist compiled
-# executables across test processes (harmless elsewhere)
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# executables across test processes. CPU entries are machine-fingerprinted:
+# foreign-host XLA:CPU AOT entries can SIGILL/abort mid-test
+# (declip_tpu/utils/compile_cache.py)
+from declip_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
 # fp32 matmuls in parity tests must be true fp32 (JAX's default matmul
 # precision downcasts inputs)
 jax.config.update("jax_default_matmul_precision", "highest")

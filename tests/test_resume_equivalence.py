@@ -66,3 +66,26 @@ def test_resume_matches_straight_run(tmp_path):
     ):
         np.testing.assert_allclose(va, vb, rtol=1e-6, atol=1e-7,
                                    err_msg=str(ka))
+
+
+def test_async_save_restores_identically(tmp_path):
+    """async_write saves land the identical bytes (writer thread does
+    serialization; wait_for_pending_saves drains before a read)."""
+    from declip_tpu.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint,
+        wait_for_pending_saves,
+    )
+
+    s = _make_solver(tmp_path / "asave")
+    _manual_steps(s, 2)
+    p_sync = save_checkpoint(str(tmp_path / "sync"), s.state)
+    p_async = save_checkpoint(str(tmp_path / "async"), s.state,
+                              async_write=True)
+    wait_for_pending_saves()
+    with open(p_sync, "rb") as f1, open(p_async, "rb") as f2:
+        assert f1.read() == f2.read()
+    template = jax.device_get(s.state)
+    restored = restore_checkpoint(p_async, template)
+    for a, b in zip(jax.tree.leaves(template), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
