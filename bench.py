@@ -42,7 +42,8 @@ BENCH_STEPS = 20
 
 
 def build(model_name: str, per_chip_batch: int, remat: bool,
-          loss_impl: str = "full", remat_policy: str = "policy"):
+          loss_impl: str = "full", remat_policy: str = "policy",
+          mlm_max_positions: int = 24):
     from declip_tpu.config import parse_config
     from declip_tpu.models import model_entry
     from declip_tpu.models.memory_bank import init_bank
@@ -77,11 +78,16 @@ def build(model_name: str, per_chip_batch: int, remat: bool,
         model = model_entry({
             "type": "declip_res50",
             "kwargs": {
+                # production vocab (49409): without DECLIP_BPE_PATH the
+                # tokenizer fallback is 515 tokens, which understates the
+                # MLM head (the largest single matmul in the step) ~100x
                 "image_encode": {"embed_dim": 1024},
                 "text_encode": {"embed_dim": 1024, "checkpoint": remat,
-                                "remat_policy": remat_policy},
+                                "remat_policy": remat_policy,
+                                "vocab_size": 49409},
                 "clip": {"use_allgather": True, "text_mask_type": "MLM",
-                         "return_nn_bank": True, "feature_dim": 1024},
+                         "return_nn_bank": True, "feature_dim": 1024,
+                         "mlm_max_positions": mlm_max_positions},
                 "dtype": "bfloat16",
             },
         })
@@ -155,9 +161,11 @@ grad_clip: {type: logit_scale_param_value, value: 3, max_value: 6}
 
 
 def run(model_name: str, per_chip_batch: int, remat: bool = False,
-        loss_impl: str = "full", remat_policy: str = "policy"):
+        loss_impl: str = "full", remat_policy: str = "policy",
+        mlm_max_positions: int = 24):
     step, state, batch, b, n_chips = build(
-        model_name, per_chip_batch, remat, loss_impl, remat_policy)
+        model_name, per_chip_batch, remat, loss_impl, remat_policy,
+        mlm_max_positions)
     for _ in range(WARMUP_STEPS):
         state, metrics = step(state, batch)
     # force a full device round-trip (block_until_ready can be a no-op
@@ -297,7 +305,11 @@ def main():
     ap.add_argument("--e2e", action="store_true",
                     help="include the host input pipeline")
     ap.add_argument("--no-device-aug", action="store_true")
+    ap.add_argument("--mlm-full", action="store_true",
+                    help="reference-style full [B, L, vocab] MLM logits "
+                         "instead of the compact masked-position head")
     args = ap.parse_args()
+    mlm_positions = 0 if args.mlm_full else 24
 
     if args.e2e:
         batch = args.batch or 128
@@ -315,7 +327,8 @@ def main():
     if args.model:
         batch = args.batch or DEFAULT_BATCH[args.model]
         pairs = run(args.model, batch, args.remat, args.loss_impl,
-                    args.remat_policy or DEFAULT_REMAT_POLICY[args.model])
+                    args.remat_policy or DEFAULT_REMAT_POLICY[args.model],
+                    mlm_positions)
         print(json.dumps(_line(args.model, pairs, suffix)))
         return
 
@@ -329,7 +342,8 @@ def main():
                        args.batch or DEFAULT_BATCH["declip_res50"],
                        args.remat, args.loss_impl,
                        args.remat_policy
-                       or DEFAULT_REMAT_POLICY["declip_res50"])
+                       or DEFAULT_REMAT_POLICY["declip_res50"],
+                       mlm_positions)
     out = _line("declip_res50", declip_pairs, suffix)
     out["extra"] = {"clip_vitb32": _line("clip_vitb32", clip_pairs, suffix)}
     print(json.dumps(out))

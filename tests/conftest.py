@@ -9,9 +9,16 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA:CPU cross-replica collectives CHECK-abort the whole process when
+# replica threads skew past the default 40s rendezvous timeout — big
+# full-size-model programs on a loaded host hit this nondeterministically
+# (observed: 'Termination timeout for all reduce ... Exiting to ensure a
+# consistent program state', rc=134, on the reference-config run tests).
+if "collective_call_terminate_timeout" not in flags:
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=3600")
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
