@@ -43,7 +43,7 @@ BENCH_STEPS = 20
 
 def build(model_name: str, per_chip_batch: int, remat: bool,
           loss_impl: str = "full", remat_policy: str = "policy",
-          mlm_max_positions: int = 24):
+          mlm_max_positions: int = 24, scan_unroll: int = -1):
     from declip_tpu.config import parse_config
     from declip_tpu.models import model_entry
     from declip_tpu.models.memory_bank import init_bank
@@ -60,9 +60,11 @@ def build(model_name: str, per_chip_batch: int, remat: bool,
             "kwargs": {
                 "image_encode": {"embed_dim": 512, "input_resolution": 224,
                                  "checkpoint": remat,
-                                 "remat_policy": remat_policy},
+                                 "remat_policy": remat_policy,
+                                 "scan_unroll": scan_unroll},
                 "text_encode": {"embed_dim": 512, "checkpoint": remat,
-                                "remat_policy": remat_policy},
+                                "remat_policy": remat_policy,
+                                "scan_unroll": scan_unroll},
                 "clip": {"use_allgather": True},
                 "dtype": "bfloat16",
             },
@@ -84,6 +86,7 @@ def build(model_name: str, per_chip_batch: int, remat: bool,
                 "image_encode": {"embed_dim": 1024},
                 "text_encode": {"embed_dim": 1024, "checkpoint": remat,
                                 "remat_policy": remat_policy,
+                                "scan_unroll": scan_unroll,
                                 "vocab_size": 49409},
                 "clip": {"use_allgather": True, "text_mask_type": "MLM",
                          "return_nn_bank": True, "feature_dim": 1024,
@@ -162,10 +165,10 @@ grad_clip: {type: logit_scale_param_value, value: 3, max_value: 6}
 
 def run(model_name: str, per_chip_batch: int, remat: bool = False,
         loss_impl: str = "full", remat_policy: str = "policy",
-        mlm_max_positions: int = 24):
+        mlm_max_positions: int = 24, scan_unroll: int = -1):
     step, state, batch, b, n_chips = build(
         model_name, per_chip_batch, remat, loss_impl, remat_policy,
-        mlm_max_positions)
+        mlm_max_positions, scan_unroll)
     for _ in range(WARMUP_STEPS):
         state, metrics = step(state, batch)
     # force a full device round-trip (block_until_ready can be a no-op
@@ -308,6 +311,9 @@ def main():
     ap.add_argument("--mlm-full", action="store_true",
                     help="reference-style full [B, L, vocab] MLM logits "
                          "instead of the compact masked-position head")
+    ap.add_argument("--scan-unroll", type=int, default=-1,
+                    help="lax.scan unroll over transformer depth "
+                         "(-1 auto: full on TPU; 0 full; n explicit)")
     args = ap.parse_args()
     mlm_positions = 0 if args.mlm_full else 24
 
@@ -328,7 +334,7 @@ def main():
         batch = args.batch or DEFAULT_BATCH[args.model]
         pairs = run(args.model, batch, args.remat, args.loss_impl,
                     args.remat_policy or DEFAULT_REMAT_POLICY[args.model],
-                    mlm_positions)
+                    mlm_positions, args.scan_unroll)
         print(json.dumps(_line(args.model, pairs, suffix)))
         return
 

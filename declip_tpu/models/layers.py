@@ -176,6 +176,22 @@ class Transformer(nn.Module):
     # remat=True (the reference `checkpoint:` kwarg) overrides with full
     # recompute.
     remat_policy: str = "policy"
+    # lax.scan unroll factor over depth. Measured on v5e (README): FULL
+    # unroll is +15% train throughput on CLIP ViT-B/32 vs the rolled loop
+    # (XLA schedules/fuses across layer boundaries), while PARTIAL unroll
+    # (2 or 4) is -22% — the leftover loop blocks cross-layer scheduling
+    # and the bigger body defeats the rolled loop's cache locality.
+    #   -1 (default) = auto: full unroll on accelerators, rolled on CPU
+    #        (keeps test/dry-run compiles small and the CPU compile cache
+    #        stable);  0 = always full;  >=1 = explicit factor.
+    scan_unroll: int = -1
+
+    def _resolve_unroll(self) -> int:
+        if self.scan_unroll == 0:
+            return self.layers
+        if self.scan_unroll < 0:  # auto (see scan_unroll comment)
+            return self.layers if jax.default_backend() != "cpu" else 1
+        return self.scan_unroll
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -202,6 +218,7 @@ class Transformer(nn.Module):
             variable_axes={"params": 0},
             split_rngs={"params": True},
             length=self.layers,
+            unroll=self._resolve_unroll(),
             metadata_params={nn.PARTITION_NAME: "layers"},
         )
         y, _ = scanned(

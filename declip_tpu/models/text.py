@@ -41,6 +41,7 @@ class TextTransformer(nn.Module):
     positional_embedding_flag: bool = True
     checkpoint: bool = False
     remat_policy: str = "policy"  # policy|dots|all (models/layers.py)
+    scan_unroll: int = -1  # depth unroll: -1 auto / 0 full / n (layers.py)
     eot_id: Optional[int] = None  # default: vocab_size - 1 (<|endoftext|>)
     dtype: Dtype = jnp.float32
     attn_impl: str = "xla"
@@ -75,6 +76,7 @@ class TextTransformer(nn.Module):
             causal=True,
             remat=self.checkpoint,
             remat_policy=self.remat_policy,
+            scan_unroll=self.scan_unroll,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             name="transformer",

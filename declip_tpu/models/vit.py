@@ -36,6 +36,7 @@ class VisualTransformer(nn.Module):
     embed_dim: int = 512
     checkpoint: bool = False  # reference kwarg name for activation remat
     remat_policy: str = "policy"  # policy|dots|all (models/layers.py)
+    scan_unroll: int = -1  # depth unroll: -1 auto / 0 full / n (layers.py)
     freeze_conv1: bool = True
     dtype: Dtype = jnp.float32
     attn_impl: str = "xla"
@@ -104,6 +105,7 @@ class VisualTransformer(nn.Module):
             heads=self.heads,
             remat=self.checkpoint,
             remat_policy=self.remat_policy,
+            scan_unroll=self.scan_unroll,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             name="transformer",

@@ -1,0 +1,84 @@
+"""FSDP (ZeRO-3-style) train-state sharding over the data axis.
+
+The reference framework is pure data-parallel: every GPU holds a full
+replica of params + Adam moments + EMA (linklink DistModule,
+linklink/__init__.py). That caps model size at one device's HBM. This
+module goes beyond the reference the TPU-native way: shard every large
+train-state array over the existing 1-D ``data`` mesh axis and let XLA's
+SPMD partitioner insert the all-gathers (weights, forward+backward) and
+reduce-scatters (gradients) — the standard JAX "fully sharded data
+parallel" recipe (How to Scale Your Model, §sharded-params). No model code
+changes: computation follows the shardings attached to the jitted train
+step's inputs/outputs, and the optax update (elementwise over matching
+leaves) preserves them, so params, Adam moments, and EMA all stay sharded
+across steps while the batch stays sharded over the same axis.
+
+Per-array rule (``array_sharding``): shard the largest axis divisible by
+the mesh size, preferring trailing axes on ties (better HBM layout: the
+lane dimension stays contiguous); arrays smaller than ``min_size`` or with
+no divisible axis stay replicated (BN scalars, biases, logit_scale).
+nn.scan-stacked transformer leaves [L, ...] are treated like any other
+array — with L=12 layers and 8-way FSDP the rule lands on the weight
+matrices' feature axes, not L.
+
+Enable with ``parallelism: {fsdp: true}`` in a config (Solver) or call
+``shard_train_state`` directly. Memory: 8-way FSDP cuts per-chip
+params+moments+EMA from 4x|P| to 4x|P|/8 (bf16 compute casts are
+rematerialized from the gathered shards).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from declip_tpu.parallel.mesh import DATA_AXIS
+
+# below this many elements an array is replicated — gathering tiny arrays
+# costs more in collective latency than the shard saves in HBM
+MIN_SHARD_SIZE = 2 ** 14
+
+
+def array_sharding(mesh: Mesh, x: Any, *, axis_name: str = DATA_AXIS,
+                   min_size: int = MIN_SHARD_SIZE) -> NamedSharding:
+    """The FSDP sharding for one array: largest divisible axis, else
+    replicated."""
+    shape = getattr(x, "shape", None)
+    if shape is None or not shape:
+        return NamedSharding(mesh, P())
+    n = mesh.shape[axis_name]
+    if int(np.prod(shape)) < min_size or n == 1:
+        return NamedSharding(mesh, P())
+    best = None  # (size, idx) — ties resolved toward trailing axes
+    for i, d in enumerate(shape):
+        if d % n == 0 and (best is None or d >= best[0]):
+            best = (d, i)
+    if best is None:
+        return NamedSharding(mesh, P())
+    spec = [None] * len(shape)
+    spec[best[1]] = axis_name
+    return NamedSharding(mesh, P(*spec))
+
+
+def state_shardings(mesh: Mesh, state: Any, *, axis_name: str = DATA_AXIS,
+                    min_size: int = MIN_SHARD_SIZE) -> Any:
+    """Pytree of NamedShardings mirroring ``state`` (TrainState or any
+    pytree). Applied leaf-by-leaf by shape, so params, Adam moments, and
+    EMA shadows (same shapes) land on identical specs and the optax
+    update stays collective-free."""
+    return jax.tree.map(
+        lambda x: array_sharding(mesh, x, axis_name=axis_name,
+                                 min_size=min_size),
+        state,
+    )
+
+
+def shard_train_state(mesh: Mesh, state: Any, *, axis_name: str = DATA_AXIS,
+                      min_size: int = MIN_SHARD_SIZE) -> Any:
+    """Device-put ``state`` with FSDP shardings (scatter, not replicate)."""
+    return jax.device_put(
+        state, state_shardings(mesh, state, axis_name=axis_name,
+                               min_size=min_size))

@@ -358,7 +358,7 @@ class Solver:
                 msg += (f" ({len(unmatched)} keys kept at init, e.g. "
                         f"{unmatched[:5]})")
             self.logger.info(msg)
-        self.state = jax.device_put(state, self._replicated())
+        self.state = self._place_state(state)
 
     def _feature_dim(self, params) -> int:
         # joint embedding dim: the model's feature_dim field when set
@@ -376,6 +376,16 @@ class Solver:
         from jax.sharding import NamedSharding, PartitionSpec
 
         return NamedSharding(self.mesh, PartitionSpec())
+
+    def _place_state(self, state):
+        """Replicated (reference DDP semantics) or FSDP-sharded when
+        ``parallelism: {fsdp: true}`` (parallel/fsdp.py — beyond-reference
+        ZeRO-3 sharding; XLA inserts the gather/scatter collectives)."""
+        if (self.config.get("parallelism") or {}).get("fsdp"):
+            from declip_tpu.parallel.fsdp import shard_train_state
+
+            return shard_train_state(self.mesh, state)
+        return jax.device_put(state, self._replicated())
 
     # ----------------------------------------------------------------- step
     def build_step(self):
@@ -576,7 +586,7 @@ class Solver:
         # (Delta vs reference, which reloads only model state and therefore
         # must rebuild its optimizer, declip_solver.py:548-619.)
         self.tx = self._make_tx(state.params)
-        self.state = jax.device_put(state, self._replicated())
+        self.state = self._place_state(state)
         self.build_step()
         return True
 

@@ -23,19 +23,29 @@ from typing import Optional
 
 
 def machine_fingerprint() -> str:
-    """Stable per-CPU-type fingerprint (flags line of /proc/cpuinfo)."""
-    flags = ""
+    """Stable per-CPU-type fingerprint.
+
+    Hashes model/stepping/microcode AND the flags line of /proc/cpuinfo:
+    virtualized hosts here report an identical generic ``model name``
+    (\"Intel(R) Xeon(R) Processor @ 2.70GHz\") and identical flags across
+    different physical CPU generations, while XLA's LLVM target derives
+    per-model tuning features (+prefer-no-gather/+prefer-no-scatter on
+    some steppings) that make AOT entries non-portable — observed
+    foreign-entry loads surviving a flags-only fingerprint."""
+    parts = []
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("flags", "Features")):
-                    flags = line.strip()
-                    break
+                if line.startswith(("flags", "Features", "model", "stepping",
+                                    "microcode", "cpu family", "vendor_id")):
+                    parts.append(line.strip())
+                if line.strip() == "" and parts:
+                    break  # first core only — all cores are identical
     except OSError:
         pass
-    if not flags:
-        flags = f"{platform.machine()}-{platform.processor()}"
-    return hashlib.sha1(flags.encode()).hexdigest()[:10]
+    if not parts:
+        parts = [f"{platform.machine()}-{platform.processor()}"]
+    return hashlib.sha1("\n".join(parts).encode()).hexdigest()[:10]
 
 
 def enable_compile_cache(base: Optional[str] = None) -> str:

@@ -275,3 +275,52 @@ def test_remat_policy_variants_match():
         for a, b in zip(jax.tree.leaves(ref_grad), jax.tree.leaves(grad)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-7)
+
+
+def test_scan_unroll_variants_match():
+    """scan_unroll is a scheduling knob only — outputs and gradients must be
+    identical across rolled (1), partial (2), full (0), and auto (-1)
+    (models/layers.py Transformer._resolve_unroll)."""
+    import jax
+    import jax.numpy as jnp
+
+    from declip_tpu.models import model_entry
+
+    def build(unroll):
+        return model_entry({
+            "type": "clip_vitb32",
+            "kwargs": {
+                "image_encode": {"embed_dim": 32, "input_resolution": 32,
+                                 "patch_size": 32, "width": 32, "layers": 3,
+                                 "heads": 2, "scan_unroll": unroll},
+                "text_encode": {"embed_dim": 32, "transformer_width": 32,
+                                "transformer_heads": 2,
+                                "transformer_layers": 3,
+                                "scan_unroll": unroll},
+                "clip": {"use_allgather": True},
+            },
+        })
+
+    rng_np = np.random.default_rng(0)
+    batch = {
+        "images": jnp.asarray(rng_np.normal(size=(4, 32, 32, 3)), jnp.float32),
+        "tokens": jnp.asarray(rng_np.integers(1, 100, (4, 77)), jnp.int32),
+    }
+    ref_model = build(1)
+    variables = jax.jit(
+        lambda: ref_model.init(jax.random.PRNGKey(0), batch, train=True))()
+
+    def loss(model, params):
+        out = model.apply({"params": params}, batch, train=True)
+        return (out["image_embed"].sum() + out["text_embed"].sum())
+
+    ref_val, ref_grad = jax.value_and_grad(
+        lambda p: loss(ref_model, p))(variables["params"])
+    for unroll in (2, 0, -1):
+        m = build(unroll)
+        val, grad = jax.value_and_grad(
+            lambda p: loss(m, p))(variables["params"])
+        np.testing.assert_allclose(float(val), float(ref_val), rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(ref_grad), jax.tree.leaves(grad)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7)
