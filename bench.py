@@ -343,13 +343,14 @@ def main():
     clip_pairs = run("clip_vitb32", args.batch or DEFAULT_BATCH["clip_vitb32"],
                      args.remat, args.loss_impl,
                      args.remat_policy
-                     or DEFAULT_REMAT_POLICY["clip_vitb32"])
+                     or DEFAULT_REMAT_POLICY["clip_vitb32"],
+                     scan_unroll=args.scan_unroll)
     declip_pairs = run("declip_res50",
                        args.batch or DEFAULT_BATCH["declip_res50"],
                        args.remat, args.loss_impl,
                        args.remat_policy
                        or DEFAULT_REMAT_POLICY["declip_res50"],
-                       mlm_positions)
+                       mlm_positions, args.scan_unroll)
     out = _line("declip_res50", declip_pairs, suffix)
     out["extra"] = {"clip_vitb32": _line("clip_vitb32", clip_pairs, suffix)}
     print(json.dumps(out))

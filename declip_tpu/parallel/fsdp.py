@@ -14,9 +14,12 @@ leaves) preserves them, so params, Adam moments, and EMA all stay sharded
 across steps while the batch stays sharded over the same axis.
 
 Per-array rule (``array_sharding``): shard the largest axis divisible by
-the mesh size, preferring trailing axes on ties (better HBM layout: the
-lane dimension stays contiguous); arrays smaller than ``min_size`` or with
-no divisible axis stay replicated (BN scalars, biases, logit_scale).
+the mesh size, preferring LEADING axes on ties — TPU tiles are (8, 128)
+on (sublane, lane), so shrinking the minor-most (lane) axis below 128
+pads every shard's tile out to 128 and can double the very HBM this
+module exists to save; splitting a leading axis keeps full lanes.
+Arrays smaller than ``min_size`` or with no divisible axis stay
+replicated (BN scalars, biases, logit_scale).
 nn.scan-stacked transformer leaves [L, ...] are treated like any other
 array — with L=12 layers and 8-way FSDP the rule lands on the weight
 matrices' feature axes, not L.
@@ -52,14 +55,29 @@ def array_sharding(mesh: Mesh, x: Any, *, axis_name: str = DATA_AXIS,
     n = mesh.shape[axis_name]
     if int(np.prod(shape)) < min_size or n == 1:
         return NamedSharding(mesh, P())
-    best = None  # (size, idx) — ties resolved toward trailing axes
+    # Candidate ranking (lexicographic): tile-aligned first — a lane-axis
+    # (minor-most) shard must stay a multiple of the 128-lane tile and a
+    # sublane-axis shard a multiple of 8, else every shard is padded back
+    # out and the memory saving erodes — then largest axis, then LEADING
+    # position (ties: splitting a leading axis never touches the tile).
+    best = None  # (aligned, size, -idx)
     for i, d in enumerate(shape):
-        if d % n == 0 and (best is None or d >= best[0]):
-            best = (d, i)
+        if d % n:
+            continue
+        shard = d // n
+        if i == len(shape) - 1:
+            aligned = shard % 128 == 0
+        elif i == len(shape) - 2:
+            aligned = shard % 8 == 0
+        else:
+            aligned = True
+        key = (aligned, d, -i)
+        if best is None or key > best[:3]:
+            best = (aligned, d, -i, i)
     if best is None:
         return NamedSharding(mesh, P())
     spec = [None] * len(shape)
-    spec[best[1]] = axis_name
+    spec[best[3]] = axis_name
     return NamedSharding(mesh, P(*spec))
 
 

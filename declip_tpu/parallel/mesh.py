@@ -21,11 +21,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 DATA_AXIS = "data"
+MODEL_AXIS = "model"
 
 
-def make_mesh(devices=None, axis_name: str = DATA_AXIS) -> Mesh:
-    devices = devices if devices is not None else jax.devices()
-    return Mesh(np.asarray(devices), (axis_name,))
+def make_mesh(devices=None, axis_name: str = DATA_AXIS, tp: int = 1) -> Mesh:
+    """1-D data mesh, or — with ``tp > 1`` — a 2-D [data, model] mesh
+    whose trailing ``model`` axis carries tensor-parallel shards
+    (parallel/tp.py). Adjacent device ids land on the same model group,
+    keeping TP collectives on the shortest ICI hops."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if tp > 1:
+        if devices.size % tp:
+            raise ValueError(f"{devices.size} devices not divisible by "
+                             f"tp={tp}")
+        return Mesh(devices.reshape(-1, tp), (axis_name, MODEL_AXIS))
+    return Mesh(devices, (axis_name,))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -96,8 +96,14 @@ class Solver:
         self.rank = jax.process_index()
         self.world = jax.process_count()
         self.setup_env()
-        self.mesh = make_mesh(devices)
+        # parallelism: {tp: N} builds a 2-D [data, model] mesh for
+        # Megatron-style tensor parallelism (parallel/tp.py)
+        tp = int((self.config.get("parallelism") or {}).get("tp", 1) or 1)
+        self.mesh = make_mesh(devices, tp=tp)
         self.n_devices = int(self.mesh.devices.size)
+        # data-parallel ways: batch is sharded over 'data' and replicated
+        # over 'model', so all batch math scales by data ways, not chips
+        self.data_ways = self.n_devices // tp
         self.build_model()
         self.build_data()
         self.build_optimizer()
@@ -171,9 +177,9 @@ class Solver:
         self.per_chip_batch = int(train_cfg.get("batch_size", 8))
         # reference batch_size is per-rank(=per-GPU); per-host loader batch =
         # per-chip x local chips, sharded over the mesh by the train step
-        local_chips = self.n_devices // self.world
-        self.host_batch = self.per_chip_batch * local_chips
-        self.global_batch = self.per_chip_batch * self.n_devices
+        local_ways = self.data_ways // self.world
+        self.host_batch = self.per_chip_batch * local_ways
+        self.global_batch = self.per_chip_batch * self.data_ways
 
         # full config-driven dataset build (use_ranked, image_reader,
         # server_cfg, fseek — clip_dataloader.py:66-120)
@@ -183,7 +189,7 @@ class Solver:
             {**train_cfg,
              **({"max_iter": self.config.get_path("lr_scheduler.kwargs.max_iter")}
                 if self.config.get_path("lr_scheduler.kwargs.max_iter") else {})},
-            len(ds), self.n_devices,
+            len(ds), self.data_ways,
         )
         self.train_dataset = ds
         self.train_cfg = train_cfg
@@ -378,10 +384,20 @@ class Solver:
         return NamedSharding(self.mesh, PartitionSpec())
 
     def _place_state(self, state):
-        """Replicated (reference DDP semantics) or FSDP-sharded when
-        ``parallelism: {fsdp: true}`` (parallel/fsdp.py — beyond-reference
-        ZeRO-3 sharding; XLA inserts the gather/scatter collectives)."""
-        if (self.config.get("parallelism") or {}).get("fsdp"):
+        """Replicated (reference DDP semantics), FSDP-sharded
+        (``parallelism: {fsdp: true}`` — ZeRO-3 over the data axis,
+        parallel/fsdp.py), or tensor-parallel (``parallelism: {tp: N}`` —
+        Megatron-style weight sharding over the model axis,
+        parallel/tp.py). tp and fsdp are mutually exclusive for now."""
+        pcfg = self.config.get("parallelism") or {}
+        if int(pcfg.get("tp", 1) or 1) > 1:
+            if pcfg.get("fsdp"):
+                raise ValueError("parallelism: tp and fsdp are mutually "
+                                 "exclusive (compose in a later round)")
+            from declip_tpu.parallel.tp import shard_train_state_tp
+
+            return shard_train_state_tp(self.mesh, state)
+        if pcfg.get("fsdp"):
             from declip_tpu.parallel.fsdp import shard_train_state
 
             return shard_train_state(self.mesh, state)

@@ -25,7 +25,7 @@ from typing import Optional
 def machine_fingerprint() -> str:
     """Stable per-CPU-type fingerprint.
 
-    Hashes model/stepping/microcode AND the flags line of /proc/cpuinfo:
+    Hashes vendor/family/model/stepping AND the flags line of /proc/cpuinfo:
     virtualized hosts here report an identical generic ``model name``
     (\"Intel(R) Xeon(R) Processor @ 2.70GHz\") and identical flags across
     different physical CPU generations, while XLA's LLVM target derives
@@ -36,8 +36,11 @@ def machine_fingerprint() -> str:
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
+                # NOT microcode: a routine microcode update would orphan
+                # the same machine's whole cache; LLVM's target features
+                # derive from family/model/stepping + flags only
                 if line.startswith(("flags", "Features", "model", "stepping",
-                                    "microcode", "cpu family", "vendor_id")):
+                                    "cpu family", "vendor_id")):
                     parts.append(line.strip())
                 if line.strip() == "" and parts:
                     break  # first core only — all cores are identical

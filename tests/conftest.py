@@ -45,3 +45,47 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+# ---- per-test hang watchdog -------------------------------------------------
+# XLA:CPU multi-replica collective programs can (rarely) hang in their
+# rendezvous on starved hosts (observed on a 1-vCPU machine: a single
+# 8-replica step freezes with ~0 CPU; the raised collective terminate
+# timeout above then masks it for an hour). A hung test is unrecoverable
+# in-process — dump every thread's traceback and hard-exit so the run
+# fails loudly in minutes instead of silently eating the CI budget.
+# DECLIP_TEST_TIMEOUT overrides (seconds; 0 disables). The default is far
+# above any legitimate test, including cold compiles on one core.
+_TEST_TIMEOUT = float(os.environ.get("DECLIP_TEST_TIMEOUT", "2400") or 0)
+
+
+@pytest.hookimpl(wrapper=True)
+def pytest_runtest_protocol(item, nextitem):
+    if not _TEST_TIMEOUT:
+        return (yield)
+    import faulthandler
+    import sys
+    import threading
+
+    def _expire():
+        # pytest's fd-level capture owns fd 2 and its buffers die with
+        # os._exit — dump to a side file AND the (captured) stderr
+        msg = (f"\n[conftest watchdog] test {item.nodeid} exceeded "
+               f"{_TEST_TIMEOUT:.0f}s — dumping threads and aborting run\n")
+        try:
+            with open("/tmp/declip_watchdog_dump.txt", "w") as f:
+                f.write(msg)
+                faulthandler.dump_traceback(file=f)
+        except OSError:
+            pass
+        os.write(2, msg.encode())
+        faulthandler.dump_traceback(file=sys.__stderr__)
+        os._exit(86)
+
+    timer = threading.Timer(_TEST_TIMEOUT, _expire)
+    timer.daemon = True
+    timer.start()
+    try:
+        return (yield)
+    finally:
+        timer.cancel()

@@ -39,9 +39,12 @@ def test_array_sharding_rule():
     s = array_sharding(mesh, np.zeros((12, 512, 2048)), min_size=1)
     assert s.spec == P(None, None, "data")
 
-    # ties resolve toward the trailing axis (lane-dim contiguity)
+    # ties resolve toward the LEADING axis — splitting the minor (lane)
+    # axis below 128 would tile-pad every shard back out to 128 lanes
     s = array_sharding(mesh, np.zeros((512, 512)), min_size=1)
-    assert s.spec == P(None, "data")
+    assert s.spec == P("data", None)
+    s = array_sharding(mesh, np.zeros((12, 512, 512)), min_size=1)
+    assert s.spec == P(None, "data", None)
 
     # no divisible axis -> replicated (e.g. [12, 77, 77])
     s = array_sharding(mesh, np.zeros((12, 77, 77)), min_size=1)
@@ -77,10 +80,16 @@ def test_fsdp_step_matches_replicated():
             assert shard.size == leaf.size // 8
 
     for i in range(3):
+        # readback BETWEEN the two dispatches: the replicated and FSDP
+        # steps are different programs with different collective
+        # schedules — letting them run concurrently on the same 8
+        # virtual CPU devices interleaves their collectives and can
+        # deadlock the XLA:CPU rendezvous (observed as a silent hang)
         s_rep, m_rep = step(s_rep, sharded_batch)
+        loss_rep = float(m_rep["loss"])
         s_fsdp, m_fsdp = step(s_fsdp, sharded_batch)
         np.testing.assert_allclose(
-            float(m_rep["loss"]), float(m_fsdp["loss"]), rtol=2e-5,
+            loss_rep, float(m_fsdp["loss"]), rtol=2e-5,
             err_msg=f"step {i}")
 
     # shardings survive the donated update (no silent re-replication)
@@ -122,10 +131,12 @@ data: {train: {image_text_two_view: True}}
     s_rep = jax.device_put(state, NamedSharding(mesh, P()))
     s_fsdp = shard_train_state(mesh, state, min_size=256)
 
+    # readback between dispatches — see test_fsdp_step_matches_replicated
     s_rep, m_rep = step(s_rep, sharded_batch)
+    loss_rep = float(m_rep["loss"])
     s_fsdp, m_fsdp = step(s_fsdp, sharded_batch)
     np.testing.assert_allclose(
-        float(m_rep["loss"]), float(m_fsdp["loss"]), rtol=2e-5)
+        loss_rep, float(m_fsdp["loss"]), rtol=2e-5)
     # bank ring write correct under a sharded bank
     assert int(s_fsdp.bank_text.ptr) == int(s_rep.bank_text.ptr)
     np.testing.assert_allclose(
@@ -138,13 +149,33 @@ data: {train: {image_text_two_view: True}}
 
 def test_solver_place_state_fsdp():
     """`parallelism: {fsdp: true}` routes Solver state placement through
-    shard_train_state (production-size widths shard at the default
-    MIN_SHARD_SIZE)."""
+    shard_train_state — exercises Solver._place_state's actual config
+    lookup (a typo'd key would silently fall back to replicated)."""
+    import jax.numpy as jnp
+
     from declip_tpu.parallel.fsdp import MIN_SHARD_SIZE
+    from declip_tpu.solver import Solver
 
     mesh = make_mesh()
-    # production-scale leaf: ViT-B MLP kernel [12, 768, 3072]
+    # production-scale leaf: ViT-B MLP kernel [12, 768, 3072] shards at
+    # the default MIN_SHARD_SIZE on its largest axis (3072/8 = 384 lanes,
+    # still above the 128-lane tile — no padding)
     leaf = np.zeros((12, 768, 3072), np.float32)
     assert leaf.size >= MIN_SHARD_SIZE
     s = array_sharding(mesh, leaf)
     assert s.spec == P(None, None, "data")
+
+    # _place_state routing, without a full Solver build: only the fields
+    # it reads (config, mesh)
+    fake = object.__new__(Solver)
+    fake.mesh = mesh
+    state = {"w": jnp.zeros((12, 768, 3072)), "b": jnp.zeros((16,))}
+
+    fake.config = parse_config("parallelism: {fsdp: true}")
+    placed = Solver._place_state(fake, state)
+    assert not placed["w"].sharding.is_fully_replicated
+    assert placed["b"].sharding.is_fully_replicated
+
+    fake.config = parse_config("x: 0")  # default: replicated DDP semantics
+    placed = Solver._place_state(fake, state)
+    assert placed["w"].sharding.is_fully_replicated
