@@ -1,24 +1,31 @@
 """Iteration-domain, warmup-aware LR schedules.
 
 Rebuilds prototype/lr_scheduler/scheduler.py as pure ``step -> lr`` callables
-(optax schedule functions). Reference semantics preserved:
+(optax schedule functions) with EXACT reference indexing:
+``schedule(s)`` equals the lr the reference scheduler hands the s-th
+optimizer step of a fresh run — i.e. ``scheduler.step(curr_step=s+1)`` then
+``get_lr()[0]`` (the solver starts at curr_step = last_iter + 1 = 1,
+clip_solver.py:374,390-391). Law by law:
 
-- linear warmup from ``base_lr`` to ``warmup_lr`` over ``warmup_steps``
-  (scheduler.py:41-84); after warmup the decay law runs on ``warmup_lr``;
-- ``Step``: multiply by lr_mults at milestones (scheduler.py:87-144);
-- ``StepDecay``: x rate every step_size after warmup (scheduler.py:147-197);
-- ``Cosine``: cosine from warmup_lr to min_lr over the remaining steps
-  (scheduler.py:200-249);
-- ``Poly``: (1 - t)^power toward min_lr (scheduler.py:252-301).
+- warmup (scheduler.py:78-84, requires warmup_steps >= 2): lr at curr < ws
+  is ``base_lr + (warmup_lr - base_lr) * (curr-1)/(ws-1)``;
+- ``Step`` (scheduler.py:134-142): multiplier prefix-product selected by
+  ``bisect_right(lr_steps, curr)``;
+- ``StepDecay`` (scheduler.py:188-197): ``warmup_lr * decay**((curr-ws)//step_size)``;
+- ``Cosine`` (scheduler.py:235-246): cosine from warmup_lr to min_lr over
+  ``(curr-ws)/(max_iter-ws)``;
+- ``Poly`` (scheduler.py:289-298): ``warmup_lr * (1-(curr-ws)/max_iter)**power``
+  (reference divides by max_iter, not max_iter-ws, and has no min_lr).
 
-Epoch variants (StepEpoch/CosineEpoch, lr_scheduler/__init__.py:4-17) are
-converted to iterations by the caller.
+Trajectory parity with the composed reference loop is asserted by
+tests/test_training_dynamics.py. Epoch variants (StepEpoch/CosineEpoch,
+lr_scheduler/__init__.py:4-17) are converted to iterations by the caller.
 """
 
 from __future__ import annotations
 
 import math
-from typing import Callable, List, Optional, Sequence
+from typing import Callable, Optional, Sequence
 
 import jax.numpy as jnp
 
@@ -27,19 +34,18 @@ from declip_tpu.utils.registry import SCHEDULERS
 Schedule = Callable[[jnp.ndarray], jnp.ndarray]
 
 
-def _warmup(step, base_lr: float, warmup_lr: float, warmup_steps: int):
-    if warmup_steps <= 0:
-        return jnp.asarray(warmup_lr, jnp.float32)
-    frac = jnp.minimum(step.astype(jnp.float32) / warmup_steps, 1.0)
-    return base_lr + (warmup_lr - base_lr) * frac
-
-
 def _with_warmup(decay_fn: Callable, base_lr, warmup_lr, warmup_steps) -> Schedule:
+    """decay_fn receives ``t = curr - warmup_steps`` (float, t >= 0 once the
+    decay phase is live; its first evaluation in training is t = 1 when
+    warmup_steps == 0, else t = 0)."""
+
     def schedule(step):
-        step = jnp.asarray(step)
-        warm = _warmup(step, base_lr, warmup_lr, warmup_steps)
-        after = decay_fn(jnp.maximum(step - warmup_steps, 0))
-        return jnp.where(step < warmup_steps, warm, after)
+        curr = jnp.asarray(step).astype(jnp.float32) + 1.0
+        after = decay_fn(jnp.maximum(curr - warmup_steps, 0.0))
+        if warmup_steps < 2:  # reference asserts ws >= 2 or ws == 0
+            return after
+        warm = base_lr + (warmup_lr - base_lr) * (curr - 1.0) / (warmup_steps - 1)
+        return jnp.where(curr < warmup_steps, warm, after)
 
     return schedule
 
@@ -48,29 +54,31 @@ def _with_warmup(decay_fn: Callable, base_lr, warmup_lr, warmup_steps) -> Schedu
 def step_schedule(base_lr: float, warmup_lr: float, warmup_steps: int,
                   lr_mults: Sequence[float], lr_steps: Sequence[int],
                   max_iter: int = 0, **_) -> Schedule:
-    lr_steps = [s - warmup_steps for s in lr_steps]
-
-    def decay(s):
-        lr = jnp.asarray(warmup_lr, jnp.float32)
+    def decay(t):
+        curr = t + warmup_steps
         mult = jnp.ones((), jnp.float32)
         acc = 1.0
         for milestone, m in zip(lr_steps, lr_mults):
             acc *= m
-            mult = jnp.where(s >= milestone, acc, mult)
-        return lr * mult
+            # bisect_right(lr_steps, curr): milestone applies once curr >= it
+            mult = jnp.where(curr >= milestone, acc, mult)
+        return warmup_lr * mult
 
     return _with_warmup(decay, base_lr, warmup_lr, warmup_steps)
 
 
 @SCHEDULERS.register(name="StepDecay")
 def step_decay_schedule(base_lr: float, warmup_lr: float, warmup_steps: int,
-                        step_size: int, rate: float, max_iter: int = 0, **_
+                        step_size: int, rate: Optional[float] = None,
+                        decay: Optional[float] = None, max_iter: int = 0, **_
                         ) -> Schedule:
-    def decay(s):
-        n = jnp.floor(s.astype(jnp.float32) / step_size)
+    rate = rate if rate is not None else decay  # reference kwarg is `decay`
+
+    def _decay(t):
+        n = jnp.floor(t / step_size)
         return warmup_lr * jnp.power(rate, n)
 
-    return _with_warmup(decay, base_lr, warmup_lr, warmup_steps)
+    return _with_warmup(_decay, base_lr, warmup_lr, warmup_steps)
 
 
 @SCHEDULERS.register(name="Cosine")
@@ -78,8 +86,8 @@ def cosine_schedule(base_lr: float, warmup_lr: float, warmup_steps: int,
                     max_iter: int, min_lr: float = 0.0, **_) -> Schedule:
     total = max(max_iter - warmup_steps, 1)
 
-    def decay(s):
-        frac = jnp.clip(s.astype(jnp.float32) / total, 0.0, 1.0)
+    def decay(t):
+        frac = jnp.clip(t / total, 0.0, 1.0)
         cos = 0.5 * (1 + jnp.cos(math.pi * frac))
         return min_lr + (warmup_lr - min_lr) * cos
 
@@ -88,13 +96,10 @@ def cosine_schedule(base_lr: float, warmup_lr: float, warmup_steps: int,
 
 @SCHEDULERS.register(name="Poly")
 def poly_schedule(base_lr: float, warmup_lr: float, warmup_steps: int,
-                  max_iter: int, power: float = 1.0, min_lr: float = 0.0, **_
-                  ) -> Schedule:
-    total = max(max_iter - warmup_steps, 1)
-
-    def decay(s):
-        frac = jnp.clip(s.astype(jnp.float32) / total, 0.0, 1.0)
-        return min_lr + (warmup_lr - min_lr) * jnp.power(1 - frac, power)
+                  max_iter: int, power: float = 1.0, **_) -> Schedule:
+    def decay(t):
+        frac = jnp.clip(t / max_iter, 0.0, 1.0)
+        return warmup_lr * jnp.power(1.0 - frac, power)
 
     return _with_warmup(decay, base_lr, warmup_lr, warmup_steps)
 

@@ -76,11 +76,15 @@ def logit_scale_guard(
         v = float(grad_clip["value"])
         s = jnp.clip(s_new, s_old - v, s_old + v)
     elif kind == "logit_scale_param_abs_min":
-        s = jnp.maximum(s_new, float(grad_clip["value"]))
+        # the reference clamps BOTH before backward and after the step
+        # (clip_solver.py:506,520), so the update applies to the clamped
+        # value; s_new - s_old recovers the raw update
+        v = float(grad_clip["value"])
+        s = jnp.maximum(jnp.maximum(s_old, v) + (s_new - s_old), v)
     elif kind == "logit_scale_param_value":
-        s = jnp.clip(
-            s_new, float(grad_clip["value"]), float(grad_clip["max_value"])
-        )
+        v = float(grad_clip["value"])
+        mv = float(grad_clip["max_value"])
+        s = jnp.clip(jnp.clip(s_old, v, mv) + (s_new - s_old), v, mv)
     elif kind == "logit_scale_param_ema":
         # reference passes config.grad_clip.value as the threshold
         # (declip_solver.py:387-388); 'threshold' kept as an alias

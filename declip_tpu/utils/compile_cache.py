@@ -48,6 +48,11 @@ def machine_fingerprint() -> str:
         pass
     if not parts:
         parts = [f"{platform.machine()}-{platform.processor()}"]
+    # core count too: these VMs get RESHAPED (64 vCPU -> 1 vCPU) keeping
+    # identical cpuinfo model/stepping/flags, yet LLVM's tuning features
+    # (+prefer-no-gather/+prefer-no-scatter) differ with detected topology —
+    # observed foreign AOT loads surviving the cpuinfo-only fingerprint
+    parts.append(f"ncpu={os.cpu_count()}")
     return hashlib.sha1("\n".join(parts).encode()).hexdigest()[:10]
 
 

@@ -36,6 +36,11 @@ def install_reference(tmp_bpe_dir=None):
     import torch
 
     torch.Tensor.cuda = lambda self, *a, **k: self
+    # NOTE: the reference tree vendors a single-process `linklink` shim
+    # (/root/reference/linklink) good enough for CPU training math: world
+    # size from SLURM env (default 1), barrier no-op, fp16.FP16_Optimizer
+    # importable, and no linklink.optim (prototype/optimizer/__init__.py
+    # catches that and falls back to torch SGD/AdamW).
     if REF_ROOT not in sys.path:
         sys.path.insert(0, REF_ROOT)
     bpe_path = None

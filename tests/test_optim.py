@@ -55,12 +55,14 @@ def test_cosine_schedule_shape():
                                       "warmup_steps": 10, "min_lr": 1e-5}},
         max_iter=110,
     )
+    # schedule(s) == reference lr at curr_step = s+1 (scheduler.py:78-84,
+    # 235-246): warmup interpolates over (ws-1), decay runs on curr-ws
     assert float(sched(0)) == pytest.approx(0.0)
-    assert float(sched(10)) == pytest.approx(1e-3, rel=1e-5)
-    assert float(sched(5)) == pytest.approx(5e-4, rel=1e-4)
-    assert float(sched(110)) == pytest.approx(1e-5, rel=1e-3)
+    assert float(sched(9)) == pytest.approx(1e-3, rel=1e-5)
+    assert float(sched(5)) == pytest.approx(5e-4 * 10 / 9, rel=1e-4)
+    assert float(sched(109)) == pytest.approx(1e-5, rel=1e-3)
     # midpoint of cosine
-    assert float(sched(60)) == pytest.approx((1e-3 + 1e-5) / 2, rel=1e-3)
+    assert float(sched(59)) == pytest.approx((1e-3 + 1e-5) / 2, rel=1e-3)
 
 
 def test_step_schedule():
