@@ -18,6 +18,7 @@ model; ``--loss-impl full|chunked|ring`` selects the InfoNCE implementation
 
 import argparse
 import json
+import os
 import time
 
 import jax
@@ -43,7 +44,8 @@ BENCH_STEPS = 20
 
 def build(model_name: str, per_chip_batch: int, remat: bool,
           loss_impl: str = "full", remat_policy: str = "policy",
-          mlm_max_positions: int = 24, scan_unroll: int = -1):
+          mlm_max_positions: int = 24, scan_unroll: int = -1,
+          attn_impl: str = "xla"):
     from declip_tpu.config import parse_config
     from declip_tpu.models import model_entry
     from declip_tpu.models.memory_bank import init_bank
@@ -61,10 +63,12 @@ def build(model_name: str, per_chip_batch: int, remat: bool,
                 "image_encode": {"embed_dim": 512, "input_resolution": 224,
                                  "checkpoint": remat,
                                  "remat_policy": remat_policy,
-                                 "scan_unroll": scan_unroll},
+                                 "scan_unroll": scan_unroll,
+                                 "attn_impl": attn_impl},
                 "text_encode": {"embed_dim": 512, "checkpoint": remat,
                                 "remat_policy": remat_policy,
-                                "scan_unroll": scan_unroll},
+                                "scan_unroll": scan_unroll,
+                                "attn_impl": attn_impl},
                 "clip": {"use_allgather": True},
                 "dtype": "bfloat16",
             },
@@ -163,12 +167,32 @@ grad_clip: {type: logit_scale_param_value, value: 3, max_value: 6}
     return step, state, batch, b, n_chips
 
 
+# v5e bf16 peak per chip; override when benching other generations
+PEAK_TFLOPS = float(os.environ.get("DECLIP_PEAK_TFLOPS", "197"))
+
+
+def _step_flops(step, state, batch):
+    """Compiler cost-analysis FLOPs of the compiled train step (whole-mesh
+    count, fp ops only). None when the backend hides cost analysis (some
+    remote-execution paths). The explicit lower().compile() hits the
+    persistent compile cache, so it does not pay a second real compile."""
+    try:
+        ca = step.lower(state, batch).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
 def run(model_name: str, per_chip_batch: int, remat: bool = False,
         loss_impl: str = "full", remat_policy: str = "policy",
-        mlm_max_positions: int = 24, scan_unroll: int = -1):
+        mlm_max_positions: int = 24, scan_unroll: int = -1,
+        attn_impl: str = "xla"):
     step, state, batch, b, n_chips = build(
         model_name, per_chip_batch, remat, loss_impl, remat_policy,
-        mlm_max_positions, scan_unroll)
+        mlm_max_positions, scan_unroll, attn_impl)
+    flops = _step_flops(step, state, batch)
     for _ in range(WARMUP_STEPS):
         state, metrics = step(state, batch)
     # force a full device round-trip (block_until_ready can be a no-op
@@ -180,7 +204,15 @@ def run(model_name: str, per_chip_batch: int, remat: bool = False,
         state, metrics = step(state, batch)
     float(metrics["loss"])
     dt = time.perf_counter() - t0
-    return b * BENCH_STEPS / dt / n_chips
+    perf = {}
+    if flops:
+        tflops_chip = flops / (dt / BENCH_STEPS) / n_chips / 1e12
+        perf = {
+            "flops_per_step": flops,
+            "tflops_per_sec_chip": round(tflops_chip, 1),
+            "mfu": round(tflops_chip / PEAK_TFLOPS, 3),
+        }
+    return b * BENCH_STEPS / dt / n_chips, perf
 
 
 def run_e2e(per_chip_batch: int, steps: int = 30, workers: int = 16,
@@ -273,6 +305,123 @@ def run_e2e(per_chip_batch: int, steps: int = 30, workers: int = 16,
     return b * n_timed / dt / n_chips
 
 
+def run_batch_sweep(sizes=None, dim: int = 1024, chunk: int = 4096):
+    """Global-batch sweep of the contrastive loss+grad (full vs chunked).
+
+    The entire reason chunked/ring exist is large GB — full materializes
+    the [GB, GB] logits (fp32: 4.3GB at GB=32k, SURVEY.md §5.7) while
+    chunked's peak is one [GB, chunk] block. This measures ms/step and
+    peak HBM per impl per GB on synthetic L2-normalized embeddings and
+    records where full hits the memory wall (OOM). Ring is the multi-chip
+    variant of the same blockwise math; on one chip its shard_map is
+    degenerate, so the sweep covers full vs chunked."""
+    from declip_tpu.ops.contrastive import make_pair_loss
+
+    sizes = sizes or [4096, 8192, 16384, 32768, 65536]
+    rng = np.random.default_rng(0)
+    dev = jax.devices()[0]
+    scale = jnp.asarray([60.0], jnp.float32)
+    sweep = {}
+    for gb in sizes:
+        row = {}
+        i_h = rng.normal(size=(gb, dim)).astype(np.float32)
+        t_h = rng.normal(size=(gb, dim)).astype(np.float32)
+        i_h /= np.linalg.norm(i_h, axis=-1, keepdims=True)
+        t_h /= np.linalg.norm(t_h, axis=-1, keepdims=True)
+        for impl in ("full", "chunked"):
+            pair = make_pair_loss(
+                {"loss_impl": {"type": impl, "chunk_size": chunk,
+                               "acc_window": 256}})
+
+            def loss(i, t):
+                return pair(i, t, scale)[0]
+
+            fn = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))
+            try:
+                img, txt = jnp.asarray(i_h), jnp.asarray(t_h)
+                (l, _) = fn(img, txt)
+                float(l)  # readback forces completion through the tunnel
+                t0 = time.perf_counter()
+                for _ in range(5):
+                    l, _ = fn(img, txt)
+                float(l)
+                ms = (time.perf_counter() - t0) / 5 * 1e3
+                entry = {"ms": round(ms, 1)}
+                try:
+                    stats = dev.memory_stats()
+                    entry["peak_gb"] = round(
+                        stats["peak_bytes_in_use"] / 2 ** 30, 2)
+                except Exception:
+                    pass
+                row[impl] = entry
+            except Exception as e:  # noqa: BLE001 — RESOURCE_EXHAUSTED
+                row[impl] = {"error": "OOM" if "RESOURCE_EXHAUSTED"
+                             in str(e) else str(e)[:120]}
+        sweep[str(gb)] = row
+    return sweep
+
+
+def run_decode_bench(n_images: int = 200, src_size=(512, 384),
+                     workers: int = 0):
+    """Host input-pipeline throughput: JPEG decode paths vs the chip's
+    appetite (the reference's DALI role, nvidia_dali_dataloader.py:9-179).
+
+    Measures images/s for (a) the C++ fused decode+crop+resize
+    (native/fastload.cc fl_decode_crop_resize), (b) C++ decode with DCT
+    prescale to min_side 224, (c) PIL decode+resize — each single-thread
+    and across a thread pool (the C++ paths release the GIL via ctypes, so
+    they scale with cores; PIL partially)."""
+    import io
+    from concurrent.futures import ThreadPoolExecutor
+
+    from PIL import Image
+
+    from declip_tpu.data import native
+
+    workers = workers or (os.cpu_count() or 1)
+    rng = np.random.default_rng(0)
+    blobs = []
+    for _ in range(n_images):
+        arr = rng.integers(0, 255, (src_size[1], src_size[0], 3),
+                           np.uint8)
+        bio = io.BytesIO()
+        Image.fromarray(arr).save(bio, format="JPEG", quality=90)
+        blobs.append(bio.getvalue())
+
+    def native_fused(b):
+        return native.decode_crop_resize(
+            b, (0.1, 0.1, 0.8, 0.8), (224, 224))
+
+    def native_prescale(b):
+        return native.decode_jpeg(b, min_side=224)
+
+    def pil_path(b):
+        img = Image.open(io.BytesIO(b)).convert("RGB").resize((224, 224))
+        return np.asarray(img)
+
+    paths = {"native_fused": native_fused,
+             "native_prescale": native_prescale,
+             "pil": pil_path}
+    if not native.available():
+        paths = {"pil": pil_path}
+    out = {"n_images": n_images, "src": list(src_size), "workers": workers}
+    for name, fn in paths.items():
+        fn(blobs[0])  # warm (lib load, PIL plugins)
+        t0 = time.perf_counter()
+        for b in blobs:
+            fn(b)
+        t1 = time.perf_counter()
+        with ThreadPoolExecutor(workers) as ex:
+            t2 = time.perf_counter()
+            list(ex.map(fn, blobs))
+            t3 = time.perf_counter()
+        out[name] = {
+            "img_per_s_1thread": round(n_images / (t1 - t0), 1),
+            f"img_per_s_{workers}threads": round(n_images / (t3 - t2), 1),
+        }
+    return out
+
+
 LABELS = {"clip_vitb32": "CLIP ViT-B/32", "clip_vitb16": "CLIP ViT-B/16",
           "declip_res50": "DeCLIP-R50"}
 DEFAULT_BATCH = {"clip_vitb32": 128, "clip_vitb16": 64, "declip_res50": 128}
@@ -281,14 +430,17 @@ DEFAULT_REMAT_POLICY = {"clip_vitb32": "dots", "clip_vitb16": "dots",
                         "declip_res50": "policy"}
 
 
-def _line(model: str, pairs: float, suffix: str = "") -> dict:
-    return {
+def _line(model: str, pairs: float, suffix: str = "", perf=None) -> dict:
+    out = {
         "metric": f"image-text pairs/sec/chip ({LABELS[model]} train, "
                   f"bf16{suffix})",
         "value": round(pairs, 1),
         "unit": "pairs/s/chip",
         "vs_baseline": round(pairs / A100_BASELINE[model], 3),
     }
+    if perf:
+        out.update(perf)  # flops_per_step / tflops_per_sec_chip / mfu
+    return out
 
 
 def main():
@@ -314,8 +466,41 @@ def main():
     ap.add_argument("--scan-unroll", type=int, default=-1,
                     help="lax.scan unroll over transformer depth "
                          "(-1 auto: full on TPU; 0 full; n explicit)")
+    ap.add_argument("--batch-sweep", action="store_true",
+                    help="global-batch sweep of the contrastive loss+grad "
+                         "(full vs chunked) up to the full impl's OOM wall")
+    ap.add_argument("--decode-bench", action="store_true",
+                    help="host JPEG decode throughput (native C++ vs PIL)")
+    ap.add_argument("--attn-impl", default="xla", choices=["xla", "pallas"],
+                    help="attention kernel (pallas = fused flash kernel)")
     args = ap.parse_args()
     mlm_positions = 0 if args.mlm_full else 24
+
+    if args.decode_bench:
+        res = run_decode_bench()
+        key = "native_fused" if "native_fused" in res else "pil"
+        nthreads = res["workers"]
+        print(json.dumps({
+            "metric": "host JPEG decode+crop+resize (fused C++ path)",
+            "value": res[key][f"img_per_s_{nthreads}threads"],
+            "unit": "img/s",
+            "vs_baseline": 1.0,
+            "extra": res,
+        }))
+        return
+
+    if args.batch_sweep:
+        sweep = run_batch_sweep()
+        ok = [int(g) for g, row in sweep.items()
+              if "ms" in row.get("chunked", {})]
+        print(json.dumps({
+            "metric": "contrastive loss+grad GB sweep (full vs chunked)",
+            "value": max(ok) if ok else 0,
+            "unit": "max GB chunked sustains",
+            "vs_baseline": 1.0,
+            "extra": sweep,
+        }))
+        return
 
     if args.e2e:
         batch = args.batch or 128
@@ -332,27 +517,28 @@ def main():
     suffix = f", loss_impl={args.loss_impl}" if args.loss_impl != "full" else ""
     if args.model:
         batch = args.batch or DEFAULT_BATCH[args.model]
-        pairs = run(args.model, batch, args.remat, args.loss_impl,
-                    args.remat_policy or DEFAULT_REMAT_POLICY[args.model],
-                    mlm_positions, args.scan_unroll)
-        print(json.dumps(_line(args.model, pairs, suffix)))
+        pairs, perf = run(args.model, batch, args.remat, args.loss_impl,
+                          args.remat_policy
+                          or DEFAULT_REMAT_POLICY[args.model],
+                          mlm_positions, args.scan_unroll, args.attn_impl)
+        print(json.dumps(_line(args.model, pairs, suffix, perf)))
         return
 
     # driver mode: the BASELINE north star (DeCLIP-R50 full recipe) is the
     # headline; the CLIP ViT-B/32 anchor rides along in 'extra'
-    clip_pairs = run("clip_vitb32", args.batch or DEFAULT_BATCH["clip_vitb32"],
-                     args.remat, args.loss_impl,
-                     args.remat_policy
-                     or DEFAULT_REMAT_POLICY["clip_vitb32"],
-                     scan_unroll=args.scan_unroll)
-    declip_pairs = run("declip_res50",
-                       args.batch or DEFAULT_BATCH["declip_res50"],
-                       args.remat, args.loss_impl,
-                       args.remat_policy
-                       or DEFAULT_REMAT_POLICY["declip_res50"],
-                       mlm_positions, args.scan_unroll)
-    out = _line("declip_res50", declip_pairs, suffix)
-    out["extra"] = {"clip_vitb32": _line("clip_vitb32", clip_pairs, suffix)}
+    clip_pairs, clip_perf = run(
+        "clip_vitb32", args.batch or DEFAULT_BATCH["clip_vitb32"],
+        args.remat, args.loss_impl,
+        args.remat_policy or DEFAULT_REMAT_POLICY["clip_vitb32"],
+        scan_unroll=args.scan_unroll)
+    declip_pairs, declip_perf = run(
+        "declip_res50", args.batch or DEFAULT_BATCH["declip_res50"],
+        args.remat, args.loss_impl,
+        args.remat_policy or DEFAULT_REMAT_POLICY["declip_res50"],
+        mlm_positions, args.scan_unroll)
+    out = _line("declip_res50", declip_pairs, suffix, declip_perf)
+    out["extra"] = {
+        "clip_vitb32": _line("clip_vitb32", clip_pairs, suffix, clip_perf)}
     print(json.dumps(out))
 
 

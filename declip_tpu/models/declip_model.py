@@ -98,6 +98,14 @@ class DECLIP(nn.Module):
                     words, labels, self.mlm_max_positions)
             else:
                 words_mlm = words
+            # TP: the vocab head is the biggest matmul in the step but its
+            # [W, 49409] kernel can't weight-shard (vocab not divisible;
+            # row-parallel would all-reduce [B, P, vocab]) — instead split
+            # its FLOPs by sharding the batch axis over the WHOLE mesh
+            # (no-op outside TP; see parallel/tp.py _RULES note)
+            from declip_tpu.parallel.tp import BATCH_ALL, constrain
+
+            words_mlm = constrain(words_mlm, BATCH_ALL, None, None)
             out["mlm_logits"] = self.text_label_predictor(words_mlm)
             out["mlm_labels"] = labels
         else:

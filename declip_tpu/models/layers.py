@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from declip_tpu.ops.attention import dot_product_attention, merge_heads, split_heads
+from declip_tpu.parallel.tp import BATCH_ALL, DATA, MODEL, constrain
 
 Dtype = Any
 
@@ -80,16 +81,20 @@ class MultiHeadAttention(nn.Module):
             # by AttentionPool's pooled query, modified_resnet.py:75-94)
             q = jnp.split(qkv_proj(x), 3, axis=-1)[0]
             _, k, v = jnp.split(qkv_proj(kv), 3, axis=-1)
-        q = split_heads(q, self.num_heads)
-        k = split_heads(k, self.num_heads)
-        v = split_heads(v, self.num_heads)
+        # TP: heads split over 'model' (no-ops unless the solver installed
+        # the activation-sharding context — see parallel/tp.py constrain)
+        q = constrain(split_heads(q, self.num_heads), DATA, MODEL, None, None)
+        k = constrain(split_heads(k, self.num_heads), DATA, MODEL, None, None)
+        v = constrain(split_heads(v, self.num_heads), DATA, MODEL, None, None)
         o = dot_product_attention(q, k, v, causal=causal, impl=self.attn_impl)
-        return nn.Dense(
+        o = constrain(merge_heads(o), DATA, None, MODEL)
+        out = nn.Dense(
             d,
             dtype=self.dtype,
             name="out",
             kernel_init=_normal_or_default(self.out_std),
-        )(merge_heads(o))
+        )(o)
+        return constrain(out, DATA, None, None)
 
 
 class MlpBlock(nn.Module):
@@ -108,12 +113,14 @@ class MlpBlock(nn.Module):
             name="c_fc",
             kernel_init=_normal_or_default(self.fc_std),
         )(x)
-        return nn.Dense(
+        h = constrain(h, DATA, None, MODEL)  # TP: hidden over 'model'
+        out = nn.Dense(
             d,
             dtype=self.dtype,
             name="c_proj",
             kernel_init=_normal_or_default(self.proj_std),
         )(quick_gelu(h))
+        return constrain(out, DATA, None, None)
 
 
 class ResidualAttentionBlock(nn.Module):
@@ -132,6 +139,8 @@ class ResidualAttentionBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, _=None):
         """Scan-compatible signature: (carry, None) -> (carry, None)."""
+        # TP: residual stream is batch-sharded, replicated over 'model'
+        x = constrain(x, DATA, None, None)
         width = x.shape[-1]
         attn_std = width ** -0.5
         proj_std = (width ** -0.5) * ((2 * self.total_layers) ** -0.5)

@@ -62,6 +62,13 @@ class TextTransformer(nn.Module):
             name="token_embedding",
         )
         x = emb(tokens)
+        # pin batch-over-'data' right after the lookup: a ZeRO-sharded
+        # embedding table (feature axis over 'data') otherwise propagates
+        # feature-sharding through the tower and collides with the MLM
+        # head's batch pin (involuntary-remat fallback, test_tp_compile)
+        from declip_tpu.parallel.tp import DATA, constrain
+
+        x = constrain(x, DATA, None, None)
         if self.positional_embedding_flag:
             pos = self.param(
                 "positional_embedding",
@@ -81,7 +88,8 @@ class TextTransformer(nn.Module):
             attn_impl=self.attn_impl,
             name="transformer",
         )(x)
-        x = LayerNorm(self.dtype, name="ln_final")(x)
+        x = constrain(LayerNorm(self.dtype, name="ln_final")(x),
+                      DATA, None, None)
 
         words_feat = x
         # first-eot pooling (see module docstring)

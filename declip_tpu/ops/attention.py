@@ -29,18 +29,28 @@ def _xla_attention(q, k, v, causal: bool, scale: float):
     probabilities are saved for backward inside the nn.scan layer stack —
     ~4GB of the train step's temp memory at B=128 ViT-B/32. Recomputing them
     (flash-attention-style) costs ~5% FLOPs and enables 2x larger batches.
+
+    TP: the sharding constraints (no-ops outside TP) pin the REMAT BODY'S
+    layout — constraints outside a jax.checkpoint don't reach the ops the
+    backward pass recomputes, and XLA's partitioner then free-chooses
+    shardings inside the body and replicate-repartitions at its boundary
+    ("Involuntary full rematerialization", spmd_partitioner.cc).
     """
+    from declip_tpu.parallel.tp import DATA, MODEL, constrain
+
     logits = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
     )
-    logits = logits * scale
+    logits = constrain(logits * scale, DATA, MODEL, None, None)
     if causal:
         L, Lk = logits.shape[-2], logits.shape[-1]
         row = jax.lax.broadcasted_iota(jnp.int32, (L, Lk), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (L, Lk), 1)
         logits = jnp.where(col <= row, logits, jnp.finfo(jnp.float32).min)
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    probs = constrain(probs, DATA, MODEL, None, None)
+    return constrain(
+        jnp.einsum("bhqk,bhkd->bhqd", probs, v), DATA, MODEL, None, None)
 
 
 def dot_product_attention(

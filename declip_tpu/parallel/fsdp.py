@@ -45,24 +45,18 @@ from declip_tpu.parallel.mesh import DATA_AXIS
 MIN_SHARD_SIZE = 2 ** 14
 
 
-def array_sharding(mesh: Mesh, x: Any, *, axis_name: str = DATA_AXIS,
-                   min_size: int = MIN_SHARD_SIZE) -> NamedSharding:
-    """The FSDP sharding for one array: largest divisible axis, else
-    replicated."""
-    shape = getattr(x, "shape", None)
-    if shape is None or not shape:
-        return NamedSharding(mesh, P())
-    n = mesh.shape[axis_name]
-    if int(np.prod(shape)) < min_size or n == 1:
-        return NamedSharding(mesh, P())
-    # Candidate ranking (lexicographic): tile-aligned first — a lane-axis
-    # (minor-most) shard must stay a multiple of the 128-lane tile and a
-    # sublane-axis shard a multiple of 8, else every shard is padded back
-    # out and the memory saving erodes — then largest axis, then LEADING
-    # position (ties: splitting a leading axis never touches the tile).
+def best_shard_axis(shape, n: int, skip=()) -> Any:
+    """Pick the axis to shard ``n``-ways, or None.
+
+    Candidate ranking (lexicographic): tile-aligned first — a lane-axis
+    (minor-most) shard must stay a multiple of the 128-lane tile and a
+    sublane-axis shard a multiple of 8, else every shard is padded back
+    out and the memory saving erodes — then largest axis, then LEADING
+    position (ties: splitting a leading axis never touches the tile).
+    ``skip``: axis indices unavailable (already sharded, e.g. by TP)."""
     best = None  # (aligned, size, -idx)
     for i, d in enumerate(shape):
-        if d % n:
+        if i in skip or d % n:
             continue
         shard = d // n
         if i == len(shape) - 1:
@@ -74,10 +68,24 @@ def array_sharding(mesh: Mesh, x: Any, *, axis_name: str = DATA_AXIS,
         key = (aligned, d, -i)
         if best is None or key > best[:3]:
             best = (aligned, d, -i, i)
-    if best is None:
+    return None if best is None else best[3]
+
+
+def array_sharding(mesh: Mesh, x: Any, *, axis_name: str = DATA_AXIS,
+                   min_size: int = MIN_SHARD_SIZE) -> NamedSharding:
+    """The FSDP sharding for one array: largest divisible axis, else
+    replicated."""
+    shape = getattr(x, "shape", None)
+    if shape is None or not shape:
+        return NamedSharding(mesh, P())
+    n = mesh.shape[axis_name]
+    if int(np.prod(shape)) < min_size or n == 1:
+        return NamedSharding(mesh, P())
+    axis = best_shard_axis(shape, n)
+    if axis is None:
         return NamedSharding(mesh, P())
     spec = [None] * len(shape)
-    spec[best[3]] = axis_name
+    spec[axis] = axis_name
     return NamedSharding(mesh, P(*spec))
 
 

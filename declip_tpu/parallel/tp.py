@@ -57,6 +57,28 @@ _RULES: Tuple[Tuple[Tuple[str, ...], Tuple[Any, ...]], ...] = (
     (("mlp", "c_fc", "bias"), (MODEL_AXIS,)),
     (("mlp", "c_proj", "kernel"), (MODEL_AXIS, None)),
     (("token_embedding", "embedding"), (MODEL_AXIS, None)),
+    # ResNet attnpool (modified_resnet.py:75-94 analogue): q/k/v column-
+    # parallel over heads, c_proj row-parallel
+    (("attnpool", "q_proj", "kernel"), (None, MODEL_AXIS)),
+    (("attnpool", "q_proj", "bias"), (MODEL_AXIS,)),
+    (("attnpool", "k_proj", "kernel"), (None, MODEL_AXIS)),
+    (("attnpool", "k_proj", "bias"), (MODEL_AXIS,)),
+    (("attnpool", "v_proj", "kernel"), (None, MODEL_AXIS)),
+    (("attnpool", "v_proj", "bias"), (MODEL_AXIS,)),
+    (("attnpool", "c_proj", "kernel"), (MODEL_AXIS, None)),
+    # SimSiam projector/predictor MLPs (declip heads.py): Megatron pair —
+    # linear1 column-parallel (hidden sharded through the BN+ReLU, both
+    # elementwise per-feature), linear2 row-parallel; projector linear3
+    # stays replicated (its output feeds the loss)
+    (("linear1", "kernel"), (None, MODEL_AXIS)),
+    (("linear1", "bias"), (MODEL_AXIS,)),
+    (("linear2", "kernel"), (MODEL_AXIS, None)),
+    # NOTE the MLM vocab head (text_label_predictor, [W, 49409]) is NOT
+    # weight-sharded: 49409 splits unevenly (JAX shardings must divide) and
+    # row-parallel would all-reduce a [B, P, vocab] tensor. Instead its
+    # compute is split by sharding the head INPUT's batch axis over the
+    # whole mesh (constrain(..., BATCH_ALL) in declip_model) — n-way FLOP
+    # split, CE stays row-local.
 )
 
 
@@ -124,3 +146,128 @@ def tp_state_shardings(mesh: Mesh, state: Any) -> Any:
 def shard_train_state_tp(mesh: Mesh, state: Any) -> Any:
     """Device-put ``state`` with tensor-parallel shardings."""
     return jax.device_put(state, tp_state_shardings(mesh, state))
+
+
+def tp_fsdp_state_shardings(mesh: Mesh, state: Any, *,
+                            min_size: int | None = None) -> Any:
+    """TP composed with ZeRO-3: every leaf additionally shards its largest
+    free axis over 'data' (``parallelism: {tp: N, fsdp: true}``).
+
+    TP-sharded leaves keep their 'model' dims and gain a 'data' dim where
+    one divides; TP-replicated leaves get the plain FSDP rule. Adam
+    moments / EMA mirror through the same shape table as
+    ``tp_state_shardings``, so the optax update stays collective-free."""
+    from declip_tpu.parallel.fsdp import MIN_SHARD_SIZE, best_shard_axis
+
+    if min_size is None:
+        min_size = MIN_SHARD_SIZE
+    n_data = mesh.shape["data"]
+    shardings = tp_state_shardings(mesh, state)
+
+    # the MLM vocab head's FLOPs are split by the BATCH_ALL input pin
+    # (declip_model) — data-sharding its kernel's contraction axis here
+    # conflicts with that pin and re-creates an involuntary-remat fallback
+    # (tests/test_tp_compile.py tp_fsdp mode); keep it TP-placed only.
+    # Adam moments/EMA mirror via the same shapes.
+    skip_shapes = set()
+    for kp, leaf in jtu.tree_flatten_with_path(state.params)[0]:
+        if "text_label_predictor" in _path_names(kp):
+            skip_shapes.add(tuple(leaf.shape))
+
+    def compose(x, s: NamedSharding) -> NamedSharding:
+        shape = tuple(getattr(x, "shape", ()))
+        if not shape or shape in skip_shapes:
+            return s
+        spec = list(s.spec) + [None] * (len(shape) - len(s.spec))
+        import numpy as _np
+
+        if int(_np.prod(shape)) < min_size or n_data == 1:
+            return s
+        taken = {i for i, a in enumerate(spec) if a is not None}
+        axis = best_shard_axis(shape, n_data, skip=taken)
+        if axis is None:
+            return s
+        spec[axis] = "data"
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree.map(compose, state, shardings)
+
+
+def shard_train_state_tp_fsdp(mesh: Mesh, state: Any,
+                              min_size: int | None = None) -> Any:
+    """Device-put ``state`` with composed TP x FSDP shardings."""
+    return jax.device_put(
+        state, tp_fsdp_state_shardings(mesh, state, min_size=min_size))
+
+
+# ------------------------------------------------------------------ acts
+# Parameter-only annotations do NOT survive the nn.scan + remat transformer
+# body: XLA's SPMD partitioner hits "Involuntary full rematerialization"
+# (replicate-then-repartition) on every attention reduce inside the scanned
+# block (observed: MULTICHIP_r02 tail). The fix is explicit activation
+# constraints inside the block. The model code can't take a mesh argument
+# (flax modules are config-constructed), so the solver installs a process-
+# global context before tracing and declip_tpu.models.layers calls
+# ``constrain`` — a no-op when no context is installed (single chip, DP,
+# FSDP), so the annotations cost nothing outside TP.
+
+DATA = "data"  # batch axis of an activation
+MODEL = "model"  # tensor-parallel axis (heads / hidden features)
+BATCH_ALL = "batch_all"  # batch sharded over the WHOLE mesh (data x model)
+
+_ACT: Dict[str, Any] = {"mesh": None, "data": None, "model": None}
+
+
+def set_activation_sharding(mesh: Mesh, data_axis: str = "data",
+                            model_axis: Optional[str] = MODEL_AXIS) -> None:
+    """Install the activation-sharding context. Affects jit TRACING only —
+    traces compiled while a different context was installed keep their
+    shardings.
+
+    The solver installs this for ``parallelism: {tp: N}`` AND for
+    ``{fsdp: true}`` (with ``model_axis=None``): under FSDP the ZeRO-3
+    weight shards otherwise leak their (often contraction-axis) shardings
+    into the attention remat body and GSPMD falls back to involuntary full
+    rematerialization — pinning activations to "batch over data, rest
+    replicated" makes it all-gather the weights instead, which IS the
+    ZeRO-3 contract. model_axis=None turns every MODEL annotation into
+    replicated."""
+    if model_axis is not None and model_axis not in mesh.axis_names:
+        model_axis = None
+    _ACT.update(mesh=mesh, data=data_axis, model=model_axis)
+
+
+def clear_activation_sharding() -> None:
+    _ACT.update(mesh=None, data=None, model=None)
+
+
+def constrain(x, *axes):
+    """``with_sharding_constraint`` by logical axis names.
+
+    axes: one of DATA / MODEL / BATCH_ALL / None per dimension of x.
+    Returns x unchanged when no context is installed or a named dimension
+    does not divide over its mesh axis (tiny test models)."""
+    mesh = _ACT["mesh"]
+    if mesh is None:
+        return x
+    da, ma = _ACT["data"], _ACT["model"]
+    name_of = {
+        DATA: da,
+        MODEL: ma,  # None (no model axis) -> replicated dim
+        BATCH_ALL: (da, ma) if ma is not None else da,
+    }
+    spec, n_shards = [], []
+    for a in axes:
+        name = name_of[a] if a is not None else None
+        spec.append(name)
+        if name is None:
+            n_shards.append(1)
+        elif isinstance(name, tuple):
+            n_shards.append(mesh.shape[da] * mesh.shape[ma])
+        else:
+            n_shards.append(mesh.shape[name])
+    for dim, n in zip(x.shape, n_shards):
+        if dim % n:
+            return x
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(*spec)))

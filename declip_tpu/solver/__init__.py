@@ -98,8 +98,18 @@ class Solver:
         self.setup_env()
         # parallelism: {tp: N} builds a 2-D [data, model] mesh for
         # Megatron-style tensor parallelism (parallel/tp.py)
-        tp = int((self.config.get("parallelism") or {}).get("tp", 1) or 1)
+        pcfg = self.config.get("parallelism") or {}
+        tp = int(pcfg.get("tp", 1) or 1)
         self.mesh = make_mesh(devices, tp=tp)
+        if tp > 1 or pcfg.get("fsdp"):
+            # in-model activation constraints (parallel/tp.py): pin the
+            # TP head/hidden splits, and under FSDP stop ZeRO-3 weight
+            # shards from leaking contraction-axis shardings into the
+            # attention remat body (involuntary full rematerialization)
+            from declip_tpu.parallel.tp import set_activation_sharding
+
+            set_activation_sharding(
+                self.mesh, model_axis="model" if tp > 1 else None)
         self.n_devices = int(self.mesh.devices.size)
         # data-parallel ways: batch is sharded over 'data' and replicated
         # over 'model', so all batch math scales by data ways, not chips
@@ -386,14 +396,16 @@ class Solver:
     def _place_state(self, state):
         """Replicated (reference DDP semantics), FSDP-sharded
         (``parallelism: {fsdp: true}`` — ZeRO-3 over the data axis,
-        parallel/fsdp.py), or tensor-parallel (``parallelism: {tp: N}`` —
-        Megatron-style weight sharding over the model axis,
-        parallel/tp.py). tp and fsdp are mutually exclusive for now."""
+        parallel/fsdp.py), tensor-parallel (``parallelism: {tp: N}`` —
+        Megatron-style weight sharding over the model axis, parallel/tp.py),
+        or both composed (``{tp: N, fsdp: true}`` — TP dims kept, largest
+        free axis of every leaf additionally ZeRO-3-sharded over 'data')."""
         pcfg = self.config.get("parallelism") or {}
         if int(pcfg.get("tp", 1) or 1) > 1:
             if pcfg.get("fsdp"):
-                raise ValueError("parallelism: tp and fsdp are mutually "
-                                 "exclusive (compose in a later round)")
+                from declip_tpu.parallel.tp import shard_train_state_tp_fsdp
+
+                return shard_train_state_tp_fsdp(self.mesh, state)
             from declip_tpu.parallel.tp import shard_train_state_tp
 
             return shard_train_state_tp(self.mesh, state)

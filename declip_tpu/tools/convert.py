@@ -11,6 +11,19 @@ interop format is the reference's own .pth.tar, SURVEY.md §2.9).
     # export our checkpoint to a torch-loadable .pth.tar
     python -m declip_tpu.tools.convert --to_pth <exp>/checkpoints/ckpt.msgpack \
         --config <exp>/config.yaml --out ckpt.pth.tar
+
+    # export the serving towers as portable StableHLO artifacts
+    python -m declip_tpu.tools.convert --export-serving \
+        --config <exp>/config.yaml --out <exp>/serving/
+
+The serving export is the TPU-era replacement for the reference's
+spring.nart Caffe/NNIE/Kestrel deploy targets
+(/root/reference/prototype/tools/convert.py:31-60, SenseTime-internal):
+``encode_image.stablehlo`` / ``encode_text.stablehlo`` are self-contained
+(weights baked as constants), reload on any machine with
+``jax.export.deserialize(blob).call(x)`` — no declip_tpu install needed —
+and compile for CPU or TPU servers. The batch dimension is exported
+symbolically unless ``--serving-batch N`` pins it.
 """
 
 from __future__ import annotations
@@ -102,13 +115,67 @@ def variables_to_torch_state(variables) -> dict:
     return out
 
 
+def export_serving(config_path: str, out_dir: str, batch: int = 0):
+    """Serialize encode_image / encode_text as StableHLO (jax.export).
+
+    Uses the experiment's newest checkpoint (random init if none). Returns
+    the list of files written. batch=0 exports a symbolic batch dim."""
+    import os
+
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    from declip_tpu.tools._common import load_eval_model
+
+    model, variables = load_eval_model(config_path)
+    res = getattr(model.visual, "input_resolution", 224)
+    if batch:
+        b = batch
+    else:
+        (b,) = jexport.symbolic_shape("b")
+    img_spec = jax.ShapeDtypeStruct((b, res, res, 3), jnp.float32)
+    tok_spec = jax.ShapeDtypeStruct((b, 77), jnp.int32)
+
+    def encode_image(img):
+        return model.apply(variables, img, train=False,
+                           method="encode_image")
+
+    def encode_text(tokens):
+        return model.apply(variables, tokens, method="encode_text")
+
+    os.makedirs(out_dir, exist_ok=True)
+    written = []
+    for name, fn, spec in (("encode_image", encode_image, img_spec),
+                           ("encode_text", encode_text, tok_spec)):
+        try:
+            exp = jexport.export(jax.jit(fn), platforms=("cpu", "tpu"))(spec)
+        except Exception:
+            # some lowerings are platform-specific; fall back to the
+            # exporting platform only
+            exp = jexport.export(jax.jit(fn))(spec)
+        path = os.path.join(out_dir, f"{name}.stablehlo")
+        with open(path, "wb") as f:
+            f.write(exp.serialize())
+        written.append(path)
+    return written
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--from_pth")
     ap.add_argument("--to_pth")
+    ap.add_argument("--export-serving", action="store_true")
+    ap.add_argument("--serving-batch", type=int, default=0,
+                    help="pin the serving batch dim (default: symbolic)")
     ap.add_argument("--config", required=True)
     ap.add_argument("--out", required=True)
     args = ap.parse_args(argv)
+
+    if args.export_serving:
+        for path in export_serving(args.config, args.out,
+                                   args.serving_batch):
+            print(f"exported {path}")
+        return
 
     if args.from_pth:
         import flax.serialization as ser

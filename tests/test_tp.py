@@ -94,9 +94,8 @@ def test_tp_step_matches_replicated():
 
 def test_solver_place_state_tp():
     """`parallelism: {tp: N}` routes Solver placement through
-    shard_train_state_tp; tp+fsdp together raises."""
+    shard_train_state_tp; `{tp, fsdp}` composes both axes."""
     import jax.numpy as jnp
-    import pytest
 
     from declip_tpu.solver import Solver
     from declip_tpu.train import new_train_state
@@ -105,7 +104,7 @@ def test_solver_place_state_tp():
     fake = object.__new__(Solver)
     fake.mesh = mesh
     params = {"text": {"transformer": {"layers": {"attn": {"qkv": {
-        "kernel": jnp.zeros((2, 32, 96))}}}}}}
+        "kernel": jnp.zeros((2, 512, 96))}}}}}}
     state = new_train_state(params=params, batch_stats={}, opt_state=())
 
     fake.config = parse_config("parallelism: {tp: 2}")
@@ -113,7 +112,55 @@ def test_solver_place_state_tp():
     qkv = placed.params["text"]["transformer"]["layers"]["attn"]["qkv"][
         "kernel"]
     assert not qkv.sharding.is_fully_replicated
+    assert qkv.sharding.spec == P(None, None, "model")
 
     fake.config = parse_config("parallelism: {tp: 2, fsdp: true}")
-    with pytest.raises(ValueError, match="mutually exclusive"):
-        Solver._place_state(fake, state)
+    placed = Solver._place_state(fake, state)
+    qkv = placed.params["text"]["transformer"]["layers"]["attn"]["qkv"][
+        "kernel"]
+    # composed: TP 'model' dim kept, largest free axis ZeRO-3 over 'data'
+    assert qkv.sharding.spec == P(None, "data", "model")
+
+
+def test_tp_fsdp_step_matches_replicated():
+    """TP x FSDP composition (VERDICT r2 #4): a 4x2 mesh with Megatron
+    weight sharding AND ZeRO-3 'data'-axis state sharding must match the
+    replicated-DP loss trajectory; state leaves must shard on both axes."""
+    from declip_tpu.parallel.tp import shard_train_state_tp_fsdp
+
+    model = _tp_model()
+    cfg = parse_config("x: 0")
+    batch = make_batch(16)
+    state, tx, sched = build_state(model, batch, cfg)
+    step = jax.jit(make_train_step(model, tx, cfg, sched))
+
+    mesh1 = make_mesh()
+    sb1 = jax.device_put(batch, batch_sharding(mesh1))
+    s_rep = jax.device_put(state, NamedSharding(mesh1, P()))
+
+    mesh2 = make_mesh(tp=2)
+    sb2 = jax.device_put(batch, batch_sharding(mesh2))
+    # tiny-model arrays are below the production MIN_SHARD_SIZE
+    s_both = shard_train_state_tp_fsdp(mesh2, state, min_size=256)
+
+    # a TP-ruled leaf carries both axes (min_size permitting)
+    qkv = s_both.params["text"]["transformer"]["layers"]["attn"]["qkv"][
+        "kernel"]
+    assert qkv.sharding.spec == P(None, "data", "model")
+    # a TP-replicated large leaf (token embedding, 515 x 32 -> odd vocab)
+    # still gets a data-axis shard where one divides, else stays replicated
+    n_sharded = sum(
+        not leaf.sharding.is_fully_replicated
+        for leaf in jax.tree.leaves(s_both.params))
+    assert n_sharded > 4
+
+    for i in range(2):
+        s_rep, m_rep = step(s_rep, sb1)
+        loss_rep = float(m_rep["loss"])
+        s_both, m_both = step(s_both, sb2)
+        np.testing.assert_allclose(
+            loss_rep, float(m_both["loss"]), rtol=2e-5, err_msg=f"step {i}")
+
+    for a, b in zip(jax.tree.leaves(s_rep.params),
+                    jax.tree.leaves(s_both.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-3)

@@ -1,0 +1,152 @@
+"""Sharded-step compile inspection (VERDICT r2 weak #1): the SPMD
+partitioner must compile the TP AND FSDP train steps WITHOUT 'Involuntary
+full rematerialization' fallbacks (replicate-then-repartition inside the
+scanned transformer — the MULTICHIP_r02 tail).
+
+Root cause (round 3 bisection): the warnings came from the FSDP compile,
+not TP — ZeRO-3 shards the fused-qkv kernel on its contraction axis and
+GSPMD pushes that sharding into the attention remat body. The fix is the
+activation-sharding context (parallel/tp.py set_activation_sharding):
+batch pinned over 'data' (+ heads/hidden over 'model' under TP), which
+makes the partitioner all-gather the weight shards — the ZeRO-3 contract.
+A no-pins FSDP compile reproduces 10 warnings (verified in-session).
+
+Runs in subprocesses because the partitioner logs to the raw stderr fd
+(absl C++ logging), which in-process pytest capture cannot see. Compile
+only — no 8-replica execution, so this is safe on starved hosts.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+SCRIPT = r"""
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from declip_tpu.config import parse_config
+from declip_tpu.models import model_entry
+from declip_tpu.models.memory_bank import init_bank
+from declip_tpu.optim import optim_entry, scheduler_entry
+from declip_tpu.parallel import make_mesh
+from declip_tpu.parallel.fsdp import shard_train_state
+from declip_tpu.parallel.tp import (
+    set_activation_sharding, shard_train_state_tp, shard_train_state_tp_fsdp)
+from declip_tpu.train import (
+    EmaConfig, init_ema, make_train_step, new_train_state)
+from declip_tpu.utils.compile_cache import enable_compile_cache
+
+mode = sys.argv[1]
+if mode != "fsdp_nopins":
+    # the negative control must ALWAYS really compile — a persistent-cache
+    # hit skips the partitioner and emits no warnings (vacuous pass)
+    enable_compile_cache()
+RES = 64
+model = model_entry({
+    "type": "declip_vitb32",
+    "kwargs": {
+        "image_encode": {"embed_dim": 64, "input_resolution": RES,
+                         "patch_size": 32, "width": 64, "layers": 2,
+                         "heads": 2},
+        "text_encode": {"embed_dim": 64, "transformer_width": 64,
+                        "transformer_heads": 2, "transformer_layers": 2},
+        "clip": {"use_allgather": True, "text_mask_type": "MLM",
+                 "return_nn_bank": True, "feature_dim": 64},
+    },
+})
+cfg = parse_config('''
+grad_clip: {type: logit_scale_param_value, value: 3, max_value: 6}
+clip_simsiam_loss_weight: {clip_loss: 0.4, nn_text: 0.2, simsiam_loss: 0.2, masking_language: 0.2}
+data: {train: {image_text_two_view: True}}
+''')
+b = 16
+rng = np.random.default_rng(0)
+batch = {
+    "images": jnp.asarray(rng.normal(size=(b, RES, RES, 6)), jnp.float32),
+    "tokens": jnp.asarray(rng.integers(1, 100, (b, 77)), jnp.int32),
+    "tokens_aug": jnp.asarray(rng.integers(1, 100, (b, 77)), jnp.int32),
+    "mlm_tokens": jnp.asarray(rng.integers(1, 100, (b, 77)), jnp.int32),
+    "mlm_labels": jnp.full((b, 77), -100, jnp.int32),
+}
+variables = jax.jit(
+    lambda: model.init(jax.random.PRNGKey(0), batch, train=True))()
+params = variables["params"]
+sched = scheduler_entry(
+    {"type": "Cosine", "kwargs": {"base_lr": 0.0, "warmup_lr": 1e-3,
+                                  "warmup_steps": 2}}, max_iter=10)
+tx = optim_entry(
+    {"type": "AdamW", "kwargs": {"lr": 1e-3, "weight_decay": 0.1}},
+    params, sched, pconfig={"logit_scale": {"weight_decay": 0}},
+    grad_clip=dict(cfg.get("grad_clip") or {}))
+state = new_train_state(
+    params=params, batch_stats=variables.get("batch_stats", {}),
+    opt_state=tx.init(params),
+    ema_params=init_ema(params, EmaConfig(0.999)),
+    bank_text=init_bank(jax.random.PRNGKey(1), 256, 64),
+)
+
+if mode == "fsdp":
+    mesh = make_mesh()
+    set_activation_sharding(mesh, model_axis=None)
+    state = shard_train_state(mesh, state, min_size=256)
+elif mode == "fsdp_nopins":  # negative control: must WARN
+    mesh = make_mesh()
+    state = shard_train_state(mesh, state, min_size=256)
+elif mode == "tp":
+    mesh = make_mesh(tp=2)
+    set_activation_sharding(mesh)
+    state = shard_train_state_tp(mesh, state)
+elif mode == "tp_fsdp":
+    mesh = make_mesh(tp=2)
+    set_activation_sharding(mesh)
+    state = shard_train_state_tp_fsdp(mesh, state, min_size=256)
+else:
+    raise SystemExit(f"bad mode {mode}")
+batch = jax.tree.map(
+    lambda x: jax.device_put(x, NamedSharding(mesh, P("data"))), batch)
+step = jax.jit(
+    make_train_step(model, tx, cfg, sched, ema_cfg=EmaConfig(0.999),
+                    total_steps=10),
+    donate_argnums=(0,))
+step.lower(state, batch).compile()
+print("COMPILED_OK")
+"""
+
+
+def _compile(mode: str):
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    env["JAX_PLATFORMS"] = "cpu"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-c", SCRIPT, mode],
+        capture_output=True, text=True, timeout=1800, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert "COMPILED_OK" in proc.stdout
+    return [ln for ln in proc.stderr.splitlines()
+            if "Involuntary full rematerialization" in ln]
+
+
+@pytest.mark.parametrize("mode", ["fsdp", "tp", "tp_fsdp"])
+def test_sharded_compile_no_involuntary_remat(mode):
+    bad = _compile(mode)
+    assert not bad, (
+        f"{len(bad)} involuntary-remat warnings on the {mode} path; "
+        f"first:\n{bad[0]}")
+
+
+def test_negative_control_detects_warnings():
+    """The no-pins FSDP compile must WARN — proves the detection works and
+    the pins are what keep the other modes clean."""
+    bad = _compile("fsdp_nopins")
+    assert bad, "expected involuntary-remat warnings without activation pins"
