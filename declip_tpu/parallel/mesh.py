@@ -47,8 +47,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
-    """Device-put a host batch with the batch dim sharded over the mesh."""
+    """Device-put a host batch with the batch dim sharded over the mesh.
+
+    Multi-process: each host's loader yields only ITS rows of the global
+    batch (Solver.host_batch), so the global array is assembled from
+    process-local shards — plain device_put of per-rank-different values
+    trips jax's same-value-across-processes assertion (caught by
+    tests/test_multiprocess_smoke.py::test_two_process_solver_train)."""
     s = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                s, np.asarray(x)),
+            batch)
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)
 
 
