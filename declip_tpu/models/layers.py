@@ -230,12 +230,29 @@ class Transformer(nn.Module):
             unroll=self._resolve_unroll(),
             metadata_params={nn.PARTITION_NAME: "layers"},
         )
-        y, _ = scanned(
+        mod = scanned(
             self.heads,
             total_layers=self.layers,
             dtype=self.dtype,
             causal=self.causal,
             attn_impl=self.attn_impl,
             name="layers",
-        )(x, None)
+        )
+        # pipeline parallelism (parallel/pp.py): when the Solver installed a
+        # pipeline context and the depth divides the stage count, run the
+        # SAME stacked [L] params through the GPipe shard_map schedule
+        # instead of the scan. Params/checkpoints are identical either way;
+        # init always takes the scan path to create them.
+        from declip_tpu.parallel.pp import pipeline_stages, pipeline_transformer
+        if not self.is_initializing() and pipeline_stages(self.layers):
+            stacked = self.scope.get_variable("params", "layers")
+            return pipeline_transformer(
+                stacked, x,
+                ResidualAttentionBlock(
+                    self.heads, total_layers=self.layers, dtype=self.dtype,
+                    causal=self.causal, attn_impl=self.attn_impl),
+                remat_policy="full" if self.remat else self.remat_policy,
+                unroll=self._resolve_unroll(),
+            )
+        y, _ = mod(x, None)
         return y

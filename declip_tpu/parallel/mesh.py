@@ -24,17 +24,23 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
-def make_mesh(devices=None, axis_name: str = DATA_AXIS, tp: int = 1) -> Mesh:
-    """1-D data mesh, or — with ``tp > 1`` — a 2-D [data, model] mesh
-    whose trailing ``model`` axis carries tensor-parallel shards
-    (parallel/tp.py). Adjacent device ids land on the same model group,
-    keeping TP collectives on the shortest ICI hops."""
+def make_mesh(devices=None, axis_name: str = DATA_AXIS, tp: int = 1,
+              pp: int = 1) -> Mesh:
+    """1-D data mesh, or — with ``tp > 1`` / ``pp > 1`` — a 2-D
+    [data, model] or [data, pipe] mesh whose trailing axis carries
+    tensor-parallel (parallel/tp.py) or pipeline (parallel/pp.py) shards.
+    Adjacent device ids land on the same model/pipe group, keeping the
+    intra-group collectives (TP all-reduces, pipeline ppermutes) on the
+    shortest ICI hops."""
     devices = np.asarray(devices if devices is not None else jax.devices())
-    if tp > 1:
-        if devices.size % tp:
-            raise ValueError(f"{devices.size} devices not divisible by "
-                             f"tp={tp}")
-        return Mesh(devices.reshape(-1, tp), (axis_name, MODEL_AXIS))
+    if tp > 1 and pp > 1:
+        raise ValueError("tp and pp do not compose yet — pick one")
+    for n, axis in ((tp, MODEL_AXIS), (pp, "pipe")):
+        if n > 1:
+            if devices.size % n:
+                raise ValueError(f"{devices.size} devices not divisible by "
+                                 f"{axis}={n}")
+            return Mesh(devices.reshape(-1, n), (axis_name, axis))
     return Mesh(devices, (axis_name,))
 
 
@@ -63,6 +69,24 @@ def shard_batch(mesh: Mesh, batch: dict) -> dict:
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)
 
 
+def apply_platform_override() -> None:
+    """Honor ``DECLIP_PLATFORM=cpu|tpu`` in-process.
+
+    Some site configurations (the axon remote-TPU shim here) rewrite
+    ``JAX_PLATFORMS`` in a sitecustomize, so the standard env var cannot
+    force the CPU backend from a shell. This reads our own env var and
+    applies it via jax.config BEFORE any backend initializes —
+    ``--xla_force_host_platform_device_count`` in XLA_FLAGS is read lazily,
+    so an 8-virtual-device CPU solver run works from the CLI:
+    ``DECLIP_PLATFORM=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8
+    python -m declip_tpu.solver ...``."""
+    import os
+
+    plat = os.environ.get("DECLIP_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+
+
 _dist_initialized = False
 
 
@@ -75,6 +99,7 @@ def maybe_initialize_distributed() -> None:
     import os
 
     global _dist_initialized
+    apply_platform_override()
     if _dist_initialized:
         return
     slurm_nodes = int(os.environ.get("SLURM_JOB_NUM_NODES", "1") or 1)

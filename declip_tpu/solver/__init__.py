@@ -91,6 +91,9 @@ class Solver:
         if isinstance(config, str):
             config = parse_config(config)
         self.config = config
+        from declip_tpu.parallel.mesh import apply_platform_override
+
+        apply_platform_override()  # before anything initializes a backend
         _enable_compile_cache()
         maybe_initialize_distributed()
         self.rank = jax.process_index()
@@ -100,7 +103,8 @@ class Solver:
         # Megatron-style tensor parallelism (parallel/tp.py)
         pcfg = self.config.get("parallelism") or {}
         tp = int(pcfg.get("tp", 1) or 1)
-        self.mesh = make_mesh(devices, tp=tp)
+        pp = int(pcfg.get("pp", 1) or 1)
+        self.mesh = make_mesh(devices, tp=tp, pp=pp)
         if tp > 1 or pcfg.get("fsdp"):
             # in-model activation constraints (parallel/tp.py): pin the
             # TP head/hidden splits, and under FSDP stop ZeRO-3 weight
@@ -110,10 +114,21 @@ class Solver:
 
             set_activation_sharding(
                 self.mesh, model_axis="model" if tp > 1 else None)
+        if pp > 1:
+            # pipeline parallelism (parallel/pp.py): transformer towers run
+            # the GPipe shard_map schedule over the 'pipe' axis
+            if pcfg.get("fsdp"):
+                raise ValueError("parallelism: pp does not compose with "
+                                 "fsdp yet — pick one")
+            from declip_tpu.parallel.pp import set_pipeline_context
+
+            set_pipeline_context(
+                self.mesh, n_micro=int(pcfg.get("microbatches", 4 * pp)))
         self.n_devices = int(self.mesh.devices.size)
         # data-parallel ways: batch is sharded over 'data' and replicated
-        # over 'model', so all batch math scales by data ways, not chips
-        self.data_ways = self.n_devices // tp
+        # over 'model'/'pipe', so all batch math scales by data ways,
+        # not chips
+        self.data_ways = self.n_devices // (tp * pp)
         self.build_model()
         self.build_data()
         self.build_optimizer()
@@ -401,6 +416,10 @@ class Solver:
         or both composed (``{tp: N, fsdp: true}`` — TP dims kept, largest
         free axis of every leaf additionally ZeRO-3-sharded over 'data')."""
         pcfg = self.config.get("parallelism") or {}
+        if int(pcfg.get("pp", 1) or 1) > 1:
+            from declip_tpu.parallel.pp import shard_train_state_pp
+
+            return shard_train_state_pp(self.mesh, state)
         if int(pcfg.get("tp", 1) or 1) > 1:
             if pcfg.get("fsdp"):
                 from declip_tpu.parallel.tp import shard_train_state_tp_fsdp
