@@ -53,6 +53,16 @@ def machine_fingerprint() -> str:
     # (+prefer-no-gather/+prefer-no-scatter) differ with detected topology —
     # observed foreign AOT loads surviving the cpuinfo-only fingerprint
     parts.append(f"ncpu={os.cpu_count()}")
+    # ... and the boot id: a stop/start VM resize can land on a different
+    # physical CPU while reporting byte-identical cpuinfo AND core count
+    # (observed: a foreign +prefer-no-scatter AOT entry loading from a dir
+    # keyed by everything above). Any reboot re-keys the CPU cache — cheap
+    # insurance against the mid-test SIGILL, at worst a cold cache per boot.
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as f:
+            parts.append(f"boot={f.read().strip()}")
+    except OSError:
+        pass
     return hashlib.sha1("\n".join(parts).encode()).hexdigest()[:10]
 
 

@@ -65,9 +65,13 @@ def test_poly_scheduler():
                                     "warmup_steps": 0, "power": 2.0}},
         max_iter=10,
     )
-    assert float(sched(0)) == pytest.approx(1.0)
-    assert float(sched(5)) == pytest.approx(0.25, rel=1e-5)
-    assert float(sched(10)) == pytest.approx(0.0, abs=1e-6)
+    # reference indexing (schedulers.py docstring): sched(s) is the lr at
+    # curr_step = s+1, and Poly divides (curr - ws) by max_iter with no
+    # min_lr (scheduler.py:289-298) — so step 0 is already one tick into
+    # the decay: (1 - 1/10)^2
+    assert float(sched(0)) == pytest.approx(0.81, rel=1e-5)
+    assert float(sched(4)) == pytest.approx(0.25, rel=1e-5)  # (1 - 5/10)^2
+    assert float(sched(9)) == pytest.approx(0.0, abs=1e-6)
 
 
 def test_cli_override_json_values():
