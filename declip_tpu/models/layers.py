@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from declip_tpu.ops.attention import dot_product_attention, merge_heads, split_heads
-from declip_tpu.parallel.tp import BATCH_ALL, DATA, MODEL, constrain
+from declip_tpu.parallel.tp import BATCH_ALL, DATA, MODEL, SEQ, constrain
 
 Dtype = Any
 
@@ -94,7 +94,10 @@ class MultiHeadAttention(nn.Module):
             name="out",
             kernel_init=_normal_or_default(self.out_std),
         )(o)
-        return constrain(out, DATA, None, None)
+        # sp: the row-parallel output enters a LayerNorm region — token axis
+        # over 'model' turns the all-reduce into a reduce-scatter (SEQ is
+        # replicated unless sequence parallelism is enabled)
+        return constrain(out, DATA, SEQ, None)
 
 
 class MlpBlock(nn.Module):
@@ -120,7 +123,7 @@ class MlpBlock(nn.Module):
             name="c_proj",
             kernel_init=_normal_or_default(self.proj_std),
         )(quick_gelu(h))
-        return constrain(out, DATA, None, None)
+        return constrain(out, DATA, SEQ, None)
 
 
 class ResidualAttentionBlock(nn.Module):
@@ -139,8 +142,9 @@ class ResidualAttentionBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, _=None):
         """Scan-compatible signature: (carry, None) -> (carry, None)."""
-        # TP: residual stream is batch-sharded, replicated over 'model'
-        x = constrain(x, DATA, None, None)
+        # TP: residual stream is batch-sharded, replicated over 'model' —
+        # or token-sharded over 'model' under sequence parallelism (sp)
+        x = constrain(x, DATA, SEQ, None)
         width = x.shape[-1]
         attn_std = width ** -0.5
         proj_std = (width ** -0.5) * ((2 * self.total_layers) ** -0.5)

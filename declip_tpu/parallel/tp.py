@@ -39,7 +39,7 @@ mesh as [n_devices/N, N] ('data', 'model') and places the state through
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.tree_util as jtu
@@ -214,12 +214,15 @@ def shard_train_state_tp_fsdp(mesh: Mesh, state: Any,
 DATA = "data"  # batch axis of an activation
 MODEL = "model"  # tensor-parallel axis (heads / hidden features)
 BATCH_ALL = "batch_all"  # batch sharded over the WHOLE mesh (data x model)
+SEQ = "seq"  # sequence axis under Megatron sequence parallelism (sp)
 
-_ACT: Dict[str, Any] = {"mesh": None, "data": None, "model": None}
+_ACT: Dict[str, Any] = {"mesh": None, "data": None, "model": None,
+                        "seq": None}
 
 
 def set_activation_sharding(mesh: Mesh, data_axis: str = "data",
-                            model_axis: Optional[str] = MODEL_AXIS) -> None:
+                            model_axis: Optional[str] = MODEL_AXIS,
+                            seq: bool = False) -> None:
     """Install the activation-sharding context. Affects jit TRACING only —
     traces compiled while a different context was installed keep their
     shardings.
@@ -231,22 +234,39 @@ def set_activation_sharding(mesh: Mesh, data_axis: str = "data",
     rematerialization — pinning activations to "batch over data, rest
     replicated" makes it all-gather the weights instead, which IS the
     ZeRO-3 contract. model_axis=None turns every MODEL annotation into
-    replicated."""
+    replicated.
+
+    ``seq=True`` (``parallelism: {tp: N, sp: true}``) additionally enables
+    Megatron sequence parallelism (Korthikanti et al., arXiv:2205.05198):
+    SEQ annotations — the residual stream between the row-parallel output
+    of one sublayer and the column-parallel input of the next, i.e. the
+    LayerNorm regions — shard the TOKEN axis over the same 'model' groups.
+    GSPMD then replaces each row-parallel all-reduce with a reduce-scatter
+    and re-gathers just before the next column-parallel matmul, cutting the
+    residual/LN activation memory per chip by tp× at identical math. When
+    ``seq=False`` (or no model axis) every SEQ annotation degrades to
+    replicated — exactly the pre-sp behavior — and ``constrain`` already
+    no-ops on token axes that don't divide tp (e.g. the 77-token text
+    stream at tp=2 stays replicated while the 50-token ViT-B/32 visual
+    stream shards)."""
     if model_axis is not None and model_axis not in mesh.axis_names:
         model_axis = None
-    _ACT.update(mesh=mesh, data=data_axis, model=model_axis)
+    _ACT.update(mesh=mesh, data=data_axis, model=model_axis,
+                seq=model_axis if seq else None)
 
 
 def clear_activation_sharding() -> None:
-    _ACT.update(mesh=None, data=None, model=None)
+    _ACT.update(mesh=None, data=None, model=None, seq=None)
 
 
 def constrain(x, *axes):
     """``with_sharding_constraint`` by logical axis names.
 
-    axes: one of DATA / MODEL / BATCH_ALL / None per dimension of x.
-    Returns x unchanged when no context is installed or a named dimension
-    does not divide over its mesh axis (tiny test models)."""
+    axes: one of DATA / MODEL / SEQ / BATCH_ALL / None per dimension of x.
+    Returns x unchanged when no context is installed; a named dimension
+    that does not divide over its mesh axis (tiny test models, the
+    77-token text stream under sp) degrades to replicated PER AXIS — the
+    other dimensions keep their pins."""
     mesh = _ACT["mesh"]
     if mesh is None:
         return x
@@ -255,19 +275,17 @@ def constrain(x, *axes):
         DATA: da,
         MODEL: ma,  # None (no model axis) -> replicated dim
         BATCH_ALL: (da, ma) if ma is not None else da,
+        SEQ: _ACT["seq"],  # None unless sequence parallelism is on
     }
-    spec, n_shards = [], []
-    for a in axes:
+    spec = []
+    for a, dim in zip(axes, x.shape):
         name = name_of[a] if a is not None else None
-        spec.append(name)
-        if name is None:
-            n_shards.append(1)
-        elif isinstance(name, tuple):
-            n_shards.append(mesh.shape[da] * mesh.shape[ma])
+        if isinstance(name, tuple):
+            n = mesh.shape[da] * mesh.shape[ma]
         else:
-            n_shards.append(mesh.shape[name])
-    for dim, n in zip(x.shape, n_shards):
-        if dim % n:
-            return x
+            n = mesh.shape[name] if name is not None else 1
+        spec.append(name if dim % n == 0 else None)
+    if all(s is None for s in spec):
+        return x
     return jax.lax.with_sharding_constraint(
         x, NamedSharding(mesh, P(*spec)))

@@ -113,7 +113,8 @@ class Solver:
             from declip_tpu.parallel.tp import set_activation_sharding
 
             set_activation_sharding(
-                self.mesh, model_axis="model" if tp > 1 else None)
+                self.mesh, model_axis="model" if tp > 1 else None,
+                seq=bool(pcfg.get("sp")) and tp > 1)
         if pp > 1:
             # pipeline parallelism (parallel/pp.py): transformer towers run
             # the GPipe shard_map schedule over the 'pipe' axis

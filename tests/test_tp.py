@@ -122,6 +122,60 @@ def test_solver_place_state_tp():
     assert qkv.sharding.spec == P(None, "data", "model")
 
 
+def test_sp_step_matches_replicated_and_shards_tokens():
+    """Sequence parallelism (`parallelism: {tp: N, sp: true}`): SEQ pins
+    shard the visual residual stream's token axis over 'model' in the
+    LayerNorm regions (Megatron-SP, arXiv:2205.05198) — the lowered HLO
+    must carry the [data, model]-sharded activation annotation, and the
+    train-step loss trajectory must still match replicated DP exactly
+    (sharding is layout, not math). The 77-token text stream does not
+    divide tp=2 and must degrade to replicated per-axis (constrain keeps
+    the batch pin — the FSDP involuntary-remat guard)."""
+    from declip_tpu.parallel.tp import (
+        clear_activation_sharding, set_activation_sharding)
+
+    model = _tp_model()  # visual tokens = (32/32)^2 + CLS = 2: divides tp=2
+    cfg = parse_config("x: 0")
+    batch = make_batch(16)
+    state, tx, sched = build_state(model, batch, cfg)
+
+    mesh1 = make_mesh()
+    sb1 = jax.device_put(batch, batch_sharding(mesh1))
+    s_rep = jax.device_put(state, NamedSharding(mesh1, P()))
+    step_rep = jax.jit(make_train_step(model, tx, cfg, sched))
+
+    mesh2 = make_mesh(tp=2)
+    set_activation_sharding(mesh2, seq=True)
+    try:
+        # the context affects TRACING — build a fresh jit under it
+        step_sp = jax.jit(make_train_step(model, tx, cfg, sched))
+        sb2 = jax.device_put(batch, batch_sharding(mesh2))
+        s_tp = shard_train_state_tp(mesh2, state)
+
+        low = step_sp.lower(s_tp, sb2).as_text()
+        # visual residual [B, 2, W] pinned P('data','model',None) — the
+        # token axis carries the 'model' name. Accept both lowering
+        # dialects: Shardy (sdy, current JAX) and legacy GSPMD.
+        assert ('[{"data"}, {"model"}, {}]' in low
+                or "devices=[4,2,1]" in low), \
+            "SEQ pin did not reach the HLO"
+
+        for i in range(2):
+            # readback BETWEEN dispatches (rendezvous note above)
+            s_rep, m_rep = step_rep(s_rep, sb1)
+            loss_rep = float(m_rep["loss"])
+            s_tp, m_sp = step_sp(s_tp, sb2)
+            np.testing.assert_allclose(
+                loss_rep, float(m_sp["loss"]), rtol=2e-5,
+                err_msg=f"step {i}")
+        for a, b in zip(jax.tree.leaves(s_rep.params),
+                        jax.tree.leaves(s_tp.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=3e-3)
+    finally:
+        clear_activation_sharding()
+
+
 def test_tp_fsdp_step_matches_replicated():
     """TP x FSDP composition (VERDICT r2 #4): a 4x2 mesh with Megatron
     weight sharding AND ZeRO-3 'data'-axis state sharding must match the

@@ -47,7 +47,8 @@ if mode != "fsdp_nopins":
     # the negative control must ALWAYS really compile — a persistent-cache
     # hit skips the partitioner and emits no warnings (vacuous pass)
     enable_compile_cache()
-RES = 64
+# tp_sp needs a token count divisible by tp=2: (96/32)^2 + CLS = 10
+RES = 96 if mode == "tp_sp" else 64
 model = model_entry({
     "type": "declip_vitb32",
     "kwargs": {
@@ -102,6 +103,10 @@ elif mode == "tp":
     mesh = make_mesh(tp=2)
     set_activation_sharding(mesh)
     state = shard_train_state_tp(mesh, state)
+elif mode == "tp_sp":  # + Megatron sequence parallelism
+    mesh = make_mesh(tp=2)
+    set_activation_sharding(mesh, seq=True)
+    state = shard_train_state_tp(mesh, state)
 elif mode == "tp_fsdp":
     mesh = make_mesh(tp=2)
     set_activation_sharding(mesh)
@@ -137,7 +142,7 @@ def _compile(mode: str):
             if "Involuntary full rematerialization" in ln]
 
 
-@pytest.mark.parametrize("mode", ["fsdp", "tp", "tp_fsdp"])
+@pytest.mark.parametrize("mode", ["fsdp", "tp", "tp_fsdp", "tp_sp"])
 def test_sharded_compile_no_involuntary_remat(mode):
     bad = _compile(mode)
     assert not bad, (
