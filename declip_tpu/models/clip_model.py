@@ -117,6 +117,20 @@ def build_towers(kwargs: dict, image_factory, *, default_text_width: int = 512):
 
     image_kwargs = dict(kwargs.get("image_encode") or {})
     text_kwargs = dict(kwargs.get("text_encode") or {})
+    # MoE towers (beyond-reference, models/layers.py MoeMlpBlock): config
+    # form ``image_encode/text_encode: {moe: {num_experts: E, top_k: K,
+    # capacity_factor: C, aux_weight: W}}`` expands to the tower's moe_*
+    # fields. Transformer towers only — a moe dict on a ResNet tower fails
+    # loudly in the factory (unknown kwarg).
+    for tk in (image_kwargs, text_kwargs):
+        moe = tk.pop("moe", None)
+        if moe:
+            tk["moe_experts"] = int(moe.get("num_experts", 0))
+            for src, dst in (("top_k", "moe_top_k"),
+                             ("capacity_factor", "moe_capacity_factor"),
+                             ("aux_weight", "moe_aux_weight")):
+                if src in moe:
+                    tk[dst] = moe[src]
     # use_sync_bn/bn_group_size/bn_sync_stats (declip88m configs,
     # modified_resnet.py:116-142): under SPMD the batch is one logical array,
     # so BN statistics are GLOBAL-batch — equivalent to SyncBN with

@@ -13,6 +13,7 @@ prototype/model/text_encoder/base_transformer.py) the TPU way:
 
 from __future__ import annotations
 
+import math
 from typing import Any, Callable, Optional
 
 import flax.linen as nn
@@ -20,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from declip_tpu.ops.attention import dot_product_attention, merge_heads, split_heads
-from declip_tpu.parallel.tp import BATCH_ALL, DATA, MODEL, SEQ, constrain
+from declip_tpu.parallel.tp import BATCH_ALL, DATA, EXPERT, MODEL, SEQ, constrain
 
 Dtype = Any
 
@@ -126,6 +127,110 @@ class MlpBlock(nn.Module):
         return constrain(out, DATA, SEQ, None)
 
 
+class MoeMlpBlock(nn.Module):
+    """Mixture-of-Experts replacement for :class:`MlpBlock`.
+
+    Beyond-reference capability (the reference has no MoE; this is the
+    sparse-scaling analogue of its dense towers): GShard/Switch-style
+    token-choice top-k routing with a static per-expert capacity, built
+    entirely from dense one-hot einsums — no sorts on the hot path, static
+    shapes, every FLOP lands on the MXU, which is the TPU-native
+    formulation (Lepikhin et al., arXiv:2006.16668; Fedus et al.,
+    arXiv:2101.03961).
+
+    Per token: router logits (fp32) -> softmax -> top-k experts with
+    renormalized gates. Each expert owns a ``capacity = ceil(k * n_tokens /
+    num_experts * capacity_factor)`` token buffer; overflow tokens are
+    dropped from the expert path (the residual connection still carries
+    them — standard capacity semantics). Dispatch/combine are [n, E, C]
+    one-hot tensors; expert FFNs are batched [E, D, H] / [E, H, D] einsums.
+
+    Expert parallelism: the [E, ...] tensors carry EXPERT activation pins
+    and the params shard over an 'expert' mesh axis (``parallelism:
+    {ep: N}``, parallel/tp.py rules) — XLA inserts the dispatch/return
+    all-to-alls across the expert groups.
+
+    The auxiliary load-balance loss (Switch eq. 4: ``E * Σ_e f_e · P_e``
+    with f from the top-1 assignments) is returned to the caller;
+    :class:`Transformer` sows the depth-summed value into the ``"moe"``
+    collection, which the train step folds into the total loss.
+    """
+
+    num_experts: int
+    top_k: int = 2
+    capacity_factor: float = 1.25
+    dtype: Dtype = jnp.float32
+    fc_std: Optional[float] = None
+    proj_std: Optional[float] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> tuple[jax.Array, jax.Array]:
+        b, t, d = x.shape
+        n, e, h = b * t, self.num_experts, 4 * x.shape[-1]
+        k = min(self.top_k, e)
+        cap = min(n, max(1, math.ceil(k * n * self.capacity_factor / e)))
+        xf = x.reshape(n, d)
+
+        router = self.param(
+            "router", nn.initializers.normal(stddev=d ** -0.5), (d, e),
+            jnp.float32)
+        # routing decisions in fp32 at full precision — tiny [n,d]x[d,e]
+        # matmul, and bf16 logit ties would make expert choice hardware-
+        # dependent
+        logits = jnp.dot(xf.astype(jnp.float32), router,
+                         precision=jax.lax.Precision.HIGHEST)
+        probs = jax.nn.softmax(logits, axis=-1)  # [n, E]
+
+        combine = jnp.zeros((n, e, cap), jnp.float32)
+        taken = jnp.zeros((e,), jnp.int32)  # capacity slots consumed
+        remaining = probs
+        gate_sum = jnp.zeros((n,), jnp.float32)
+        first_choice = None
+        for _ in range(k):
+            idx = jnp.argmax(remaining, axis=-1)  # [n]
+            if first_choice is None:
+                first_choice = idx
+            onehot = jax.nn.one_hot(idx, e, dtype=jnp.int32)
+            # position of each token inside its chosen expert's buffer:
+            # running count of earlier tokens choosing the same expert this
+            # pass, offset by slots consumed in earlier passes
+            pos = jnp.cumsum(onehot, axis=0) - onehot + taken  # [n, E]
+            keep = (pos < cap) & (onehot > 0)
+            gate = jnp.take_along_axis(probs, idx[:, None], axis=-1)[:, 0]
+            slot = jax.nn.one_hot(jnp.clip(pos, 0, cap - 1), cap,
+                                  dtype=jnp.float32) * keep[..., None]
+            combine = combine + gate[:, None, None] * slot
+            gate_sum = gate_sum + gate * jnp.any(keep, axis=-1)
+            taken = taken + jnp.sum(onehot * keep, axis=0)
+            remaining = remaining * (1 - onehot)
+        # renormalize the k gates per token (dropped slots excluded); a
+        # fully dropped token contributes zero and rides the residual
+        combine = combine / jnp.maximum(gate_sum, 1e-9)[:, None, None]
+        dispatch = (combine > 0).astype(self.dtype)
+
+        wi = self.param("wi", _normal_or_default(self.fc_std), (e, d, h))
+        bi = self.param("bi", nn.initializers.zeros, (e, h))
+        wo = self.param("wo", _normal_or_default(self.proj_std), (e, h, d))
+        bo = self.param("bo", nn.initializers.zeros, (e, d))
+
+        xin = jnp.einsum("nec,nd->ecd", dispatch, xf.astype(self.dtype))
+        xin = constrain(xin, EXPERT, None, None)
+        hid = jnp.einsum("ecd,edh->ech", xin, wi.astype(self.dtype))
+        hid = quick_gelu(hid + bi[:, None].astype(self.dtype))
+        hid = constrain(hid, EXPERT, None, None)
+        out = jnp.einsum("ech,ehd->ecd", hid, wo.astype(self.dtype))
+        out = out + bo[:, None].astype(self.dtype)
+        out = constrain(out, EXPERT, None, None)
+        y = jnp.einsum("nec,ecd->nd", combine.astype(self.dtype), out)
+
+        # Switch load-balance loss: fraction of tokens whose FIRST choice
+        # is e  x  mean router prob on e, scaled by E (==1 at uniform)
+        frac = jnp.mean(jax.nn.one_hot(first_choice, e, dtype=jnp.float32),
+                        axis=0)
+        aux = e * jnp.sum(frac * jnp.mean(probs, axis=0))
+        return constrain(y.reshape(b, t, d), DATA, SEQ, None), aux
+
+
 class ResidualAttentionBlock(nn.Module):
     """Pre-LN transformer block (base_transformer.py:29-53).
 
@@ -138,10 +243,14 @@ class ResidualAttentionBlock(nn.Module):
     dtype: Dtype = jnp.float32
     causal: bool = False
     attn_impl: str = "xla"
+    # MoE knobs (0 = dense reference MLP; see MoeMlpBlock)
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
 
     @nn.compact
     def __call__(self, x: jax.Array, _=None):
-        """Scan-compatible signature: (carry, None) -> (carry, None)."""
+        """Scan-compatible signature: (carry, None) -> (carry, aux|None)."""
         # TP: residual stream is batch-sharded, replicated over 'model' —
         # or token-sharded over 'model' under sequence parallelism (sp)
         x = constrain(x, DATA, SEQ, None)
@@ -157,9 +266,17 @@ class ResidualAttentionBlock(nn.Module):
             out_std=proj_std,
             name="attn",
         )(LayerNorm(self.dtype, name="ln_1")(x), causal=self.causal)
+        x2 = LayerNorm(self.dtype, name="ln_2")(x)
+        if self.moe_experts:
+            y, aux = MoeMlpBlock(
+                self.moe_experts, top_k=self.moe_top_k,
+                capacity_factor=self.moe_capacity_factor, dtype=self.dtype,
+                fc_std=fc_std, proj_std=proj_std, name="moe",
+            )(x2)
+            return x + y, aux
         x = x + MlpBlock(
             self.dtype, fc_std=fc_std, proj_std=proj_std, name="mlp"
-        )(LayerNorm(self.dtype, name="ln_2")(x))
+        )(x2)
         return x, None
 
 
@@ -198,6 +315,13 @@ class Transformer(nn.Module):
     #        (keeps test/dry-run compiles small and the CPU compile cache
     #        stable);  0 = always full;  >=1 = explicit factor.
     scan_unroll: int = -1
+    # MoE (every-layer token-choice routing; see MoeMlpBlock). 0 = dense.
+    # The depth-summed Switch aux loss is sown into the "moe" collection
+    # (scaled by moe_aux_weight); the train step adds it to the total loss.
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    moe_aux_weight: float = 0.01
 
     def _resolve_unroll(self) -> int:
         if self.scan_unroll == 0:
@@ -240,6 +364,9 @@ class Transformer(nn.Module):
             dtype=self.dtype,
             causal=self.causal,
             attn_impl=self.attn_impl,
+            moe_experts=self.moe_experts,
+            moe_top_k=self.moe_top_k,
+            moe_capacity_factor=self.moe_capacity_factor,
             name="layers",
         )
         # pipeline parallelism (parallel/pp.py): when the Solver installed a
@@ -249,6 +376,9 @@ class Transformer(nn.Module):
         # init always takes the scan path to create them.
         from declip_tpu.parallel.pp import pipeline_stages, pipeline_transformer
         if not self.is_initializing() and pipeline_stages(self.layers):
+            if self.moe_experts:
+                raise NotImplementedError(
+                    "parallelism: pp does not compose with MoE towers yet")
             stacked = self.scope.get_variable("params", "layers")
             return pipeline_transformer(
                 stacked, x,
@@ -258,5 +388,12 @@ class Transformer(nn.Module):
                 remat_policy="full" if self.remat else self.remat_policy,
                 unroll=self._resolve_unroll(),
             )
-        y, _ = mod(x, None)
+        y, aux = mod(x, None)
+        if self.moe_experts and not self.is_initializing():
+            # [L] stacked per-layer aux -> one scalar; the train step sums
+            # the mutated "moe" collection into the loss (no-op whenever
+            # the collection is not mutable: eval/inference applies)
+            self.sow("moe", "aux_loss",
+                     self.moe_aux_weight * jnp.sum(aux),
+                     reduce_fn=lambda a, b: a + b, init_fn=lambda: 0.0)
         return y

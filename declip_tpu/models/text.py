@@ -45,6 +45,12 @@ class TextTransformer(nn.Module):
     eot_id: Optional[int] = None  # default: vocab_size - 1 (<|endoftext|>)
     dtype: Dtype = jnp.float32
     attn_impl: str = "xla"
+    # MoE tower (beyond-reference; models/layers.py MoeMlpBlock). Config
+    # form: text_encode: {moe: {num_experts: E, ...}}.
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    moe_aux_weight: float = 0.01
 
     @nn.compact
     def __call__(self, tokens: jax.Array, *, return_dense: bool = False):
@@ -86,6 +92,10 @@ class TextTransformer(nn.Module):
             scan_unroll=self.scan_unroll,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            moe_experts=self.moe_experts,
+            moe_top_k=self.moe_top_k,
+            moe_capacity_factor=self.moe_capacity_factor,
+            moe_aux_weight=self.moe_aux_weight,
             name="transformer",
         )(x)
         x = constrain(LayerNorm(self.dtype, name="ln_final")(x),

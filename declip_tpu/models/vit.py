@@ -40,6 +40,13 @@ class VisualTransformer(nn.Module):
     freeze_conv1: bool = True
     dtype: Dtype = jnp.float32
     attn_impl: str = "xla"
+    # MoE tower (beyond-reference; models/layers.py MoeMlpBlock). Config
+    # form: image_encode: {moe: {num_experts: E, ...}} — expanded by the
+    # factories below.
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    moe_aux_weight: float = 0.01
 
     @nn.compact
     def __call__(
@@ -108,6 +115,10 @@ class VisualTransformer(nn.Module):
             scan_unroll=self.scan_unroll,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            moe_experts=self.moe_experts,
+            moe_top_k=self.moe_top_k,
+            moe_capacity_factor=self.moe_capacity_factor,
+            moe_aux_weight=self.moe_aux_weight,
             name="transformer",
         )(x)
 

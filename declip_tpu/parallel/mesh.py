@@ -25,17 +25,18 @@ MODEL_AXIS = "model"
 
 
 def make_mesh(devices=None, axis_name: str = DATA_AXIS, tp: int = 1,
-              pp: int = 1) -> Mesh:
-    """1-D data mesh, or — with ``tp > 1`` / ``pp > 1`` — a 2-D
-    [data, model] or [data, pipe] mesh whose trailing axis carries
-    tensor-parallel (parallel/tp.py) or pipeline (parallel/pp.py) shards.
-    Adjacent device ids land on the same model/pipe group, keeping the
-    intra-group collectives (TP all-reduces, pipeline ppermutes) on the
-    shortest ICI hops."""
+              pp: int = 1, ep: int = 1) -> Mesh:
+    """1-D data mesh, or — with ``tp > 1`` / ``pp > 1`` / ``ep > 1`` — a
+    2-D [data, model], [data, pipe] or [data, expert] mesh whose trailing
+    axis carries tensor-parallel (parallel/tp.py), pipeline
+    (parallel/pp.py) or MoE expert-parallel (models/layers.py MoeMlpBlock)
+    shards. Adjacent device ids land on the same model/pipe/expert group,
+    keeping the intra-group collectives (TP all-reduces, pipeline
+    ppermutes, MoE dispatch all-to-alls) on the shortest ICI hops."""
     devices = np.asarray(devices if devices is not None else jax.devices())
-    if tp > 1 and pp > 1:
-        raise ValueError("tp and pp do not compose yet — pick one")
-    for n, axis in ((tp, MODEL_AXIS), (pp, "pipe")):
+    if sum(n > 1 for n in (tp, pp, ep)) > 1:
+        raise ValueError("tp, pp and ep do not compose yet — pick one")
+    for n, axis in ((tp, MODEL_AXIS), (pp, "pipe"), (ep, "expert")):
         if n > 1:
             if devices.size % n:
                 raise ValueError(f"{devices.size} devices not divisible by "
@@ -45,7 +46,14 @@ def make_mesh(devices=None, axis_name: str = DATA_AXIS, tp: int = 1,
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) dim over the data axis."""
+    """Shard the leading (batch) dim over the data axis.
+
+    On an expert mesh ([data, expert], ``parallelism: {ep: N}``) the batch
+    shards over BOTH axes: non-MoE compute stays fully data-parallel and
+    only the MoE dispatch/FFN tensors pin to 'expert'
+    (parallel/tp.py set_activation_sharding)."""
+    if "expert" in mesh.axis_names:
+        return NamedSharding(mesh, P((DATA_AXIS, "expert")))
     return NamedSharding(mesh, P(DATA_AXIS))
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -46,6 +46,7 @@ import jax.tree_util as jtu
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 MODEL_AXIS = "model"
+EXPERT_AXIS = "expert"  # MoE expert-parallel mesh axis (parallelism: {ep: N})
 
 # path-suffix -> partition spec SUFFIX (applied to the trailing dims;
 # leading dims — the scan [L] axis — get None)
@@ -79,6 +80,15 @@ _RULES: Tuple[Tuple[Tuple[str, ...], Tuple[Any, ...]], ...] = (
     # compute is split by sharding the head INPUT's batch axis over the
     # whole mesh (constrain(..., BATCH_ALL) in declip_model) — n-way FLOP
     # split, CE stays row-local.
+    # MoE expert FFNs (models/layers.py MoeMlpBlock, [L, E, D, H] etc.):
+    # one shard per expert group over the 'expert' axis (parallelism:
+    # {ep: N}); router stays replicated. On a mesh without an 'expert'
+    # axis these degrade to replicated per-axis, and vice versa for the
+    # 'model' rules above on the expert mesh.
+    (("moe", "wi"), (EXPERT_AXIS, None, None)),
+    (("moe", "bi"), (EXPERT_AXIS, None)),
+    (("moe", "wo"), (EXPERT_AXIS, None, None)),
+    (("moe", "bo"), (EXPERT_AXIS, None)),
 )
 
 
@@ -98,18 +108,20 @@ def _spec_for(path: Tuple[str, ...], shape) -> P:
             if len(tail) > len(shape):
                 break  # rank mismatch — replicate
             spec = [None] * (len(shape) - len(tail)) + list(tail)
-            # refuse to shard a non-divisible axis (e.g. vocab 49409 on
-            # the embedding): replicate instead, XLA stays correct
+            # drop (replicate) any axis whose mesh axis is absent from the
+            # mesh ('model' rules on an expert mesh and vice versa) or
+            # does not divide the dim (e.g. vocab 49409 on the embedding)
             for ax, name in enumerate(spec):
-                if name is not None and shape[ax] % _spec_for.n:
-                    return P()
-            return P(*spec)
+                n = _spec_for.sizes.get(name) if name is not None else None
+                if name is not None and (n is None or shape[ax] % n):
+                    spec[ax] = None
+            return P(*spec) if any(s is not None for s in spec) else P()
     return P()
 
 
 def param_specs(mesh: Mesh, params: Any) -> Any:
     """Pytree of PartitionSpecs for the param tree (path-rule based)."""
-    _spec_for.n = mesh.shape[MODEL_AXIS]
+    _spec_for.sizes = dict(mesh.shape)
     return jtu.tree_map_with_path(
         lambda kp, x: _spec_for(_path_names(kp), x.shape), params)
 
@@ -215,9 +227,10 @@ DATA = "data"  # batch axis of an activation
 MODEL = "model"  # tensor-parallel axis (heads / hidden features)
 BATCH_ALL = "batch_all"  # batch sharded over the WHOLE mesh (data x model)
 SEQ = "seq"  # sequence axis under Megatron sequence parallelism (sp)
+EXPERT = "expert"  # expert axis of MoE dispatch/FFN activations (ep)
 
 _ACT: Dict[str, Any] = {"mesh": None, "data": None, "model": None,
-                        "seq": None}
+                        "seq": None, "expert": None}
 
 
 def set_activation_sharding(mesh: Mesh, data_axis: str = "data",
@@ -251,12 +264,21 @@ def set_activation_sharding(mesh: Mesh, data_axis: str = "data",
     stream shards)."""
     if model_axis is not None and model_axis not in mesh.axis_names:
         model_axis = None
-    _ACT.update(mesh=mesh, data=data_axis, model=model_axis,
-                seq=model_axis if seq else None)
+    has_ep = EXPERT_AXIS in mesh.axis_names
+    # Expert mesh: the batch shards over BOTH axes (data x expert) so the
+    # non-MoE compute (attention, embeddings, losses) stays fully
+    # data-parallel; only the [E, ...] dispatch/FFN tensors pin to
+    # 'expert', and GSPMD inserts the token all-to-alls around them
+    # (GShard, arXiv:2006.16668 §3.2).
+    _ACT.update(mesh=mesh,
+                data=(data_axis, EXPERT_AXIS) if has_ep else data_axis,
+                model=model_axis,
+                seq=model_axis if seq else None,
+                expert=EXPERT_AXIS if has_ep else None)
 
 
 def clear_activation_sharding() -> None:
-    _ACT.update(mesh=None, data=None, model=None, seq=None)
+    _ACT.update(mesh=None, data=None, model=None, seq=None, expert=None)
 
 
 def constrain(x, *axes):
@@ -276,15 +298,26 @@ def constrain(x, *axes):
         MODEL: ma,  # None (no model axis) -> replicated dim
         BATCH_ALL: (da, ma) if ma is not None else da,
         SEQ: _ACT["seq"],  # None unless sequence parallelism is on
+        EXPERT: _ACT["expert"],  # None unless the mesh has an expert axis
     }
+    def flat(name):
+        """Flatten possibly-nested axis-name tuples, dropping Nones."""
+        if name is None:
+            return ()
+        if isinstance(name, tuple):
+            return tuple(a for n in name for a in flat(n))
+        return (name,)
+
     spec = []
     for a, dim in zip(axes, x.shape):
-        name = name_of[a] if a is not None else None
-        if isinstance(name, tuple):
-            n = mesh.shape[da] * mesh.shape[ma]
+        names = flat(name_of[a] if a is not None else None)
+        n = 1
+        for nm in names:
+            n *= mesh.shape[nm]
+        if not names or dim % n:
+            spec.append(None)
         else:
-            n = mesh.shape[name] if name is not None else 1
-        spec.append(name if dim % n == 0 else None)
+            spec.append(names if len(names) > 1 else names[0])
     if all(s is None for s in spec):
         return x
     return jax.lax.with_sharding_constraint(

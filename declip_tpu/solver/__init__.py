@@ -104,8 +104,9 @@ class Solver:
         pcfg = self.config.get("parallelism") or {}
         tp = int(pcfg.get("tp", 1) or 1)
         pp = int(pcfg.get("pp", 1) or 1)
-        self.mesh = make_mesh(devices, tp=tp, pp=pp)
-        if tp > 1 or pcfg.get("fsdp"):
+        ep = int(pcfg.get("ep", 1) or 1)
+        self.mesh = make_mesh(devices, tp=tp, pp=pp, ep=ep)
+        if tp > 1 or ep > 1 or pcfg.get("fsdp"):
             # in-model activation constraints (parallel/tp.py): pin the
             # TP head/hidden splits, and under FSDP stop ZeRO-3 weight
             # shards from leaking contraction-axis shardings into the
@@ -127,8 +128,9 @@ class Solver:
                 self.mesh, n_micro=int(pcfg.get("microbatches", 4 * pp)))
         self.n_devices = int(self.mesh.devices.size)
         # data-parallel ways: batch is sharded over 'data' and replicated
-        # over 'model'/'pipe', so all batch math scales by data ways,
-        # not chips
+        # over 'model'/'pipe', so all batch math scales by data ways, not
+        # chips. Under ep the batch shards over data x expert (full mesh),
+        # so ep does NOT divide the data ways.
         self.data_ways = self.n_devices // (tp * pp)
         self.build_model()
         self.build_data()
@@ -421,7 +423,11 @@ class Solver:
             from declip_tpu.parallel.pp import shard_train_state_pp
 
             return shard_train_state_pp(self.mesh, state)
-        if int(pcfg.get("tp", 1) or 1) > 1:
+        # ep routes through the same path-rule placement as tp: the moe
+        # rules pin expert FFNs to 'expert', the model rules degrade to
+        # replicated on a mesh without a 'model' axis (and vice versa)
+        if (int(pcfg.get("tp", 1) or 1) > 1
+                or int(pcfg.get("ep", 1) or 1) > 1):
             if pcfg.get("fsdp"):
                 from declip_tpu.parallel.tp import shard_train_state_tp_fsdp
 

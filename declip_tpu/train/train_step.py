@@ -136,9 +136,12 @@ def make_train_step(
         variables = {"params": params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
+        # "moe": MoE towers sow their Switch load-balance aux loss there
+        # (models/layers.py Transformer) — empty for dense towers
         out, mutated = model.apply(
-            variables, batch, train=True, mutable=["batch_stats"]
+            variables, batch, train=True, mutable=["batch_stats", "moe"]
         )
+        moe_aux = sum(jax.tree.leaves(mutated.get("moe", {})), 0.0)
 
         if method in ssl_methods:
             ssl_extra = None
@@ -162,6 +165,9 @@ def make_train_step(
                     clsa_ratio=float(model.clsa_ratio),
                     clsa_avg=bool(model.clsa_avg))
                 ssl_extra = (k, key_mut.get("batch_stats"))
+            if mutated.get("moe"):  # structure is trace-static
+                total = total + moe_aux
+                metrics["moe_aux_loss"] = moe_aux
             return total, (metrics, mutated.get("batch_stats"), out,
                            ssl_extra)
 
@@ -203,6 +209,9 @@ def make_train_step(
             )
         else:
             raise NotImplementedError(method)
+        if mutated.get("moe"):  # structure is trace-static
+            total = total + moe_aux
+            metrics["moe_aux_loss"] = moe_aux
         return total, (metrics, mutated.get("batch_stats"), out, None)
 
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
