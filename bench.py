@@ -11,9 +11,10 @@ model/recipe (the reference publishes no numbers, SURVEY.md §6; the CLIP
 ViT-B/32 anchor is the standard public ~1000 pairs/sec/GPU at batch 128
 fp16).
 
-Variants: ``--model clip_vitb32|clip_vitb16|declip_res50`` benches one
-model; ``--loss-impl full|chunked|ring`` selects the InfoNCE implementation
-(SURVEY.md §5.7); ``--e2e`` includes the host input pipeline.
+Variants: ``--model clip_vitb32|clip_vitb16|declip_res50|declip_vitb32``
+benches one model; ``--loss-impl full|chunked|ring`` selects the InfoNCE
+implementation (SURVEY.md §5.7); ``--e2e`` includes the host input pipeline;
+``--fuse-views`` A/Bs the DeCLIP tower-call fusion (README).
 """
 
 import argparse
@@ -36,6 +37,9 @@ A100_BASELINE = {
     "clip_vitb32": 1000.0,
     "clip_vitb16": 280.0,  # ~3.6x the B/32 FLOPs (197 vs 50 patch tokens)
     "declip_res50": 300.0,  # DeCLIP R50: 2 image views + 2 text towers + heads
+    # DeCLIP ViT-B/32: ~2.4x the CLIP B/32 step (2 image views + 2 text
+    # passes + MLM head + SimSiam/NN heads), same scaling logic as R50's
+    "declip_vitb32": 420.0,
 }
 
 WARMUP_STEPS = 3
@@ -45,7 +49,7 @@ BENCH_STEPS = 20
 def build(model_name: str, per_chip_batch: int, remat: bool,
           loss_impl: str = "full", remat_policy: str = "policy",
           mlm_max_positions: int = 24, scan_unroll: int = -1,
-          attn_impl: str = "xla"):
+          attn_impl: str = "xla", fuse_views: bool = False):
     from declip_tpu.config import parse_config
     from declip_tpu.models import model_entry
     from declip_tpu.models.memory_bank import init_bank
@@ -80,21 +84,29 @@ def build(model_name: str, per_chip_batch: int, remat: bool,
         }
         cfg = parse_config("{}")
         bank = None
-    elif model_name == "declip_res50":
+    elif model_name in ("declip_res50", "declip_vitb32"):
+        vit = model_name == "declip_vitb32"
+        dim = 512 if vit else 1024
+        image_encode = {"embed_dim": dim}
+        if vit:
+            image_encode.update({"input_resolution": 224, "checkpoint": remat,
+                                 "remat_policy": remat_policy,
+                                 "scan_unroll": scan_unroll})
         model = model_entry({
-            "type": "declip_res50",
+            "type": model_name,
             "kwargs": {
                 # production vocab (49409): without DECLIP_BPE_PATH the
                 # tokenizer fallback is 515 tokens, which understates the
                 # MLM head (the largest single matmul in the step) ~100x
-                "image_encode": {"embed_dim": 1024},
-                "text_encode": {"embed_dim": 1024, "checkpoint": remat,
+                "image_encode": image_encode,
+                "text_encode": {"embed_dim": dim, "checkpoint": remat,
                                 "remat_policy": remat_policy,
                                 "scan_unroll": scan_unroll,
                                 "vocab_size": 49409},
                 "clip": {"use_allgather": True, "text_mask_type": "MLM",
-                         "return_nn_bank": True, "feature_dim": 1024,
-                         "mlm_max_positions": mlm_max_positions},
+                         "return_nn_bank": True, "feature_dim": dim,
+                         "mlm_max_positions": mlm_max_positions,
+                         "fuse_views": fuse_views},
                 "dtype": "bfloat16",
             },
         })
@@ -117,7 +129,7 @@ data: {train: {image_text_two_view: True}}
 grad_clip: {type: logit_scale_param_value, value: 3, max_value: 6}
 """
         )
-        bank = init_bank(jax.random.PRNGKey(1), 2 ** 16, 1024)
+        bank = init_bank(jax.random.PRNGKey(1), 2 ** 16, dim)
     else:
         raise SystemExit(f"unknown model {model_name}")
 
@@ -188,10 +200,10 @@ def _step_flops(step, state, batch):
 def run(model_name: str, per_chip_batch: int, remat: bool = False,
         loss_impl: str = "full", remat_policy: str = "policy",
         mlm_max_positions: int = 24, scan_unroll: int = -1,
-        attn_impl: str = "xla"):
+        attn_impl: str = "xla", fuse_views: bool = False):
     step, state, batch, b, n_chips = build(
         model_name, per_chip_batch, remat, loss_impl, remat_policy,
-        mlm_max_positions, scan_unroll, attn_impl)
+        mlm_max_positions, scan_unroll, attn_impl, fuse_views)
     flops = _step_flops(step, state, batch)
     for _ in range(WARMUP_STEPS):
         state, metrics = step(state, batch)
@@ -423,11 +435,12 @@ def run_decode_bench(n_images: int = 200, src_size=(512, 384),
 
 
 LABELS = {"clip_vitb32": "CLIP ViT-B/32", "clip_vitb16": "CLIP ViT-B/16",
-          "declip_res50": "DeCLIP-R50"}
-DEFAULT_BATCH = {"clip_vitb32": 128, "clip_vitb16": 64, "declip_res50": 128}
+          "declip_res50": "DeCLIP-R50", "declip_vitb32": "DeCLIP ViT-B/32"}
+DEFAULT_BATCH = {"clip_vitb32": 128, "clip_vitb16": 64, "declip_res50": 128,
+                 "declip_vitb32": 128}
 # per-model measured optima (paired A/B on v5e, README)
 DEFAULT_REMAT_POLICY = {"clip_vitb32": "dots", "clip_vitb16": "dots",
-                        "declip_res50": "policy"}
+                        "declip_res50": "policy", "declip_vitb32": "dots"}
 
 
 def _line(model: str, pairs: float, suffix: str = "", perf=None) -> dict:
@@ -473,6 +486,10 @@ def main():
                     help="host JPEG decode throughput (native C++ vs PIL)")
     ap.add_argument("--attn-impl", default="xla", choices=["xla", "pallas"],
                     help="attention kernel (pallas = fused flash kernel)")
+    ap.add_argument("--fuse-views", action="store_true",
+                    help="DeCLIP/DeFILIP: fuse the two text passes (and ViT "
+                         "image views) into single [2B] tower calls "
+                         "(measured slower on v5e; see README)")
     args = ap.parse_args()
     mlm_positions = 0 if args.mlm_full else 24
 
@@ -520,7 +537,8 @@ def main():
         pairs, perf = run(args.model, batch, args.remat, args.loss_impl,
                           args.remat_policy
                           or DEFAULT_REMAT_POLICY[args.model],
-                          mlm_positions, args.scan_unroll, args.attn_impl)
+                          mlm_positions, args.scan_unroll, args.attn_impl,
+                          args.fuse_views)
         print(json.dumps(_line(args.model, pairs, suffix, perf)))
         return
 

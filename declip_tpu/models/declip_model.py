@@ -57,6 +57,17 @@ class DECLIP(nn.Module):
     # only on the masked positions (clip_model.compact_mlm). 0/None = the
     # reference's full [B, L, vocab] logits.
     mlm_max_positions: int = 24
+    # fuse the two text passes (and, under a ViT tower, the two image views)
+    # into single [2B] tower calls. Numerically identical per row for
+    # LayerNorm-only towers, but measured SLOWER on v5e — DeCLIP-R50 691 vs
+    # 726 pairs/s (text fusion only), DeCLIP ViT-B/32 849 vs 968 (text +
+    # image fusion), both paired A/B at B=128: XLA interleaves two
+    # independent B-sized tower instances (MXU work hides the HBM-bound
+    # phases of the other), while one 2B pass serializes its own phases.
+    # Default off; kept as a knob for other hardware/XLA versions.
+    # Auto-disabled for MoE towers (batch-coupled router capacity/aux loss)
+    # and HF text backends.
+    fuse_views: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -88,9 +99,28 @@ class DECLIP(nn.Module):
 
         mlm = self.text_mask_type is not None
         out: Dict[str, Any] = {}
+        # fuse_views: the main and EDA-augmented captions run through the
+        # SAME LayerNorm-only text tower, so both passes can fuse into one
+        # [2B, L] call with unchanged per-row numerics/grads vs the
+        # reference's two calls (declip.py:214-222). See the field docstring
+        # for why the default is OFF (measured slower on v5e).
+        fuse_text = (self.fuse_views
+                     and type(self.text).__name__ == "TextTransformer"
+                     and not getattr(self.text, "moe_experts", 0))
+        b = batch["tokens_aug"].shape[0]
         if mlm:
             # main text forward runs on MASKED tokens (declip.py:214-216)
-            text_embed, words = self.text(batch["mlm_tokens"], return_dense=True)
+            if fuse_text:
+                both, words2 = self.text(
+                    jnp.concatenate(
+                        [batch["mlm_tokens"], batch["tokens_aug"]], 0),
+                    return_dense=True)
+                text_embed, text_embed_aug = both[:b], both[b:]
+                words = words2[:b]
+            else:
+                text_embed, words = self.text(
+                    batch["mlm_tokens"], return_dense=True)
+                text_embed_aug = self.text(batch["tokens_aug"])
             labels = batch["mlm_labels"]
             if self.mlm_max_positions and \
                     self.mlm_max_positions < words.shape[1]:
@@ -108,12 +138,27 @@ class DECLIP(nn.Module):
             words_mlm = constrain(words_mlm, BATCH_ALL, None, None)
             out["mlm_logits"] = self.text_label_predictor(words_mlm)
             out["mlm_labels"] = labels
+        elif fuse_text:
+            both = self.text(
+                jnp.concatenate([batch["tokens"], batch["tokens_aug"]], 0))
+            text_embed, text_embed_aug = both[:b], both[b:]
         else:
             text_embed = self.text(batch["tokens"])
-        text_embed_aug = self.text(batch["tokens_aug"])
+            text_embed_aug = self.text(batch["tokens_aug"])
 
-        image_embed_1 = self.encode_image(img1, train=train)
-        image_embed_2 = self.encode_image(img2, train=train)
+        # ViT towers are LayerNorm-only, so the two views fuse into one [2B]
+        # pass like the text captions above; ResNet towers must stay two
+        # calls (per-view BatchNorm batch statistics, declip.py:225-232)
+        fuse_img = (self.fuse_views
+                    and type(self.visual).__name__ == "VisualTransformer"
+                    and not getattr(self.visual, "moe_experts", 0))
+        if fuse_img:
+            both_img = self.encode_image(
+                jnp.concatenate([img1, img2], 0), train=train)
+            image_embed_1, image_embed_2 = both_img[:b], both_img[b:]
+        else:
+            image_embed_1 = self.encode_image(img1, train=train)
+            image_embed_2 = self.encode_image(img2, train=train)
 
         z1 = self.projector(image_embed_1, train=train)
         z2 = self.projector(image_embed_2, train=train)

@@ -58,6 +58,9 @@ class DEFILIP(nn.Module):
     top_k: int = 16
     # see declip_model.DECLIP.mlm_max_positions
     mlm_max_positions: int = 24
+    # single-[2B]-call view fusion (text passes + ViT image views); see
+    # declip_model.DECLIP.fuse_views for semantics and the measured default
+    fuse_views: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -107,8 +110,28 @@ class DEFILIP(nn.Module):
 
         mlm = self.text_mask_type is not None
         out: Dict[str, Any] = {}
+        # both text passes fuse into one [2B, L] tower call when the tower
+        # is the LayerNorm-only dense TextTransformer — per-row numerics and
+        # grads are unchanged vs the reference's two calls (gating rationale
+        # in declip_model.py)
+        fuse_text = (self.fuse_views
+                     and type(self.text).__name__ == "TextTransformer"
+                     and not getattr(self.text, "moe_experts", 0))
+        b = batch["tokens_aug"].shape[0]
         if mlm:
-            text_embed, words = self.text(batch["mlm_tokens"], return_dense=True)
+            if fuse_text:
+                both, words2 = self.text(
+                    jnp.concatenate(
+                        [batch["mlm_tokens"], batch["tokens_aug"]], 0),
+                    return_dense=True)
+                text_embed, text_embed_aug = both[:b], both[b:]
+                # aug text: unmasked, dense (defilip.py:292)
+                words, words_aug = words2[:b], words2[b:]
+            else:
+                text_embed, words = self.text(
+                    batch["mlm_tokens"], return_dense=True)
+                text_embed_aug, words_aug = self.text(
+                    batch["tokens_aug"], return_dense=True)
             labels = batch["mlm_labels"]
             if self.mlm_max_positions and \
                     self.mlm_max_positions < words.shape[1]:
@@ -118,24 +141,42 @@ class DEFILIP(nn.Module):
                 words_mlm = words
             out["mlm_logits"] = self.text_label_predictor(words_mlm)
             out["mlm_labels"] = labels
-            # aug text: unmasked, dense (defilip.py:292)
-            text_embed_aug, words_aug = self.text(
-                batch["tokens_aug"], return_dense=True
-            )
+        elif fuse_text:
+            both, words2 = self.text(
+                jnp.concatenate([batch["tokens"], batch["tokens_aug"]], 0),
+                return_dense=True)
+            text_embed, text_embed_aug = both[:b], both[b:]
+            words_aug = words2[b:]
+            words = None
         else:
             text_embed = self.text(batch["tokens"])
             text_embed_aug, words_aug = self.text(
-                batch["tokens_aug"], return_dense=True
-            )
+                batch["tokens_aug"], return_dense=True)
             words = None
 
+        # DeFILIP is ViT-only (LayerNorm towers): both views fuse into one
+        # [2B] pass — numerics/grads per row unchanged (see declip_model.py)
+        fuse_img = (self.fuse_views
+                    and type(self.visual).__name__ == "VisualTransformer"
+                    and not getattr(self.visual, "moe_experts", 0))
         if self.return_filip:
-            image_embed_1, image_dense_1 = self.encode_image(
-                img1, train=train, return_dense=True
-            )
-            image_embed_2, image_dense_2 = self.encode_image(
-                img2, train=train, return_dense=True
-            )
+            if fuse_img:
+                emb2, dense2 = self.encode_image(
+                    jnp.concatenate([img1, img2], 0), train=train,
+                    return_dense=True)
+                image_embed_1, image_embed_2 = emb2[:b], emb2[b:]
+                image_dense_1, image_dense_2 = dense2[:b], dense2[b:]
+            else:
+                image_embed_1, image_dense_1 = self.encode_image(
+                    img1, train=train, return_dense=True
+                )
+                image_embed_2, image_dense_2 = self.encode_image(
+                    img2, train=train, return_dense=True
+                )
+        elif fuse_img:
+            emb2 = self.encode_image(
+                jnp.concatenate([img1, img2], 0), train=train)
+            image_embed_1, image_embed_2 = emb2[:b], emb2[b:]
         else:
             image_embed_1 = self.encode_image(img1, train=train)
             image_embed_2 = self.encode_image(img2, train=train)

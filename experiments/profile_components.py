@@ -118,7 +118,10 @@ def main():
     txt_fwd = jax.jit(lambda p, t: model.apply(
         vars_of(p), t, method="encode_text"))
 
-    def full_loss(p, batch):
+    def full_loss(p, batch, bank):
+        # bank is an ARGUMENT, not a closure: baked in as a constant, the
+        # 2^16x1024 fp32 bank inflates the uploaded program past the remote
+        # compile tunnel's request limit (HTTP 413)
         from declip_tpu.train import method_losses
 
         out, _ = model.apply(vars_of(p), batch, train=True,
@@ -133,27 +136,45 @@ def main():
         return method_losses.clip_losses(out, cfg, None)[0]
 
     fwd = jax.jit(full_loss)
-    fwd_bwd = jax.jit(lambda p, batch: jax.grad(full_loss)(p, batch))
-    grads = fwd_bwd(params, batch)
+    fwd_bwd = jax.jit(lambda p, batch, bank:
+                      jax.grad(full_loss)(p, batch, bank))
     opt = jax.jit(lambda g, s, p: tx.update(g, s, p))
     step = jax.jit(make_train_step(model, tx, cfg, sched, total_steps=10000))
 
-    rows = [
-        ("image fwd (eval)", timeit(img_fwd, params, batch["images"])),
-        ("text fwd", timeit(txt_fwd, params, batch["tokens"])),
-        ("full fwd+loss", timeit(fwd, params, batch)),
-        ("fwd+bwd", timeit(fwd_bwd, params, batch)),
-        ("optimizer update", timeit(opt, grads, state.opt_state, params)),
-        ("full train step", timeit(step, state, batch)),
-    ]
-    if declip:
-        bq = jax.jit(lambda x: query_topk(bank, x, 1))
-        emb = jnp.asarray(rng.normal(size=(b, 1024)), jnp.float32)
-        rows.insert(2, ("bank query_topk", timeit(bq, emb)))
-    print(f"model={args.model} B={b} remat={args.remat}")
-    for name, dt in rows:
+    print(f"model={args.model} B={b} remat={args.remat}", flush=True)
+
+    def row(name, fn, *a):
+        # each component prints as it lands; a component whose program is
+        # too big for the remote-compile tunnel (HTTP 413 on the un-rematted
+        # fwd+bwd) is reported and skipped instead of killing the run
+        try:
+            dt = timeit(fn, *a)
+        except Exception as e:  # noqa: BLE001
+            print(f"  {name:20s} SKIPPED ({type(e).__name__}: "
+                  f"{str(e).splitlines()[0][:90]})", flush=True)
+            return
         print(f"  {name:20s} {dt * 1e3:8.2f} ms   "
-              f"{b / dt:10.1f} pairs/s")
+              f"{b / dt:10.1f} pairs/s", flush=True)
+
+    # DeCLIP batches carry two stacked views in the channel axis; the tower
+    # sees one 3-channel view per call (the train step calls it twice)
+    row("image fwd (eval)", img_fwd, params,
+        batch["images"][..., : batch["images"].shape[-1] // (2 if declip
+                                                             else 1)])
+    row("text fwd", txt_fwd, params, batch["tokens"])
+    if declip:
+        bq = jax.jit(lambda bank, x: query_topk(bank, x, 1))
+        emb = jnp.asarray(rng.normal(size=(b, 1024)), jnp.float32)
+        row("bank query_topk", bq, bank, emb)
+    row("full fwd+loss", fwd, params, batch, bank)
+    row("fwd+bwd", fwd_bwd, params, batch, bank)
+    try:
+        grads = fwd_bwd(params, batch, bank)
+        row("optimizer update", opt, grads, state.opt_state, params)
+    except Exception as e:  # noqa: BLE001
+        print(f"  optimizer update     SKIPPED ({type(e).__name__})",
+              flush=True)
+    row("full train step", step, state, batch)
 
 
 if __name__ == "__main__":
