@@ -166,6 +166,26 @@ def main():
         bq = jax.jit(lambda bank, x: query_topk(bank, x, 1))
         emb = jnp.asarray(rng.normal(size=(b, 1024)), jnp.float32)
         row("bank query_topk", bq, bank, emb)
+    # per-tower backward decomposition: grad of a pseudo-loss through one
+    # tower in TRAIN mode (BN stats mutable), isolating where the step's
+    # bwd/fwd ratio comes from (R50 measured ~3.3x overall — theoretical
+    # conv bwd is ~2x fwd, so the excess needs localizing)
+    one_view = batch["images"][
+        ..., : batch["images"].shape[-1] // (2 if declip else 1)]
+
+    def img_loss(p, x):
+        out = model.apply(vars_of(p), x, train=True,
+                          mutable=["batch_stats"], method="encode_image")[0]
+        return (out.astype(jnp.float32) ** 2).mean()
+
+    def txt_loss(p, t):
+        out = model.apply(vars_of(p), t, method="encode_text")
+        emb = out[0] if isinstance(out, tuple) else out
+        return (emb.astype(jnp.float32) ** 2).mean()
+
+    row("image fwd+bwd", jax.jit(jax.grad(img_loss)), params, one_view)
+    row("text fwd+bwd", jax.jit(jax.grad(txt_loss)), params,
+        batch["tokens"])
     row("full fwd+loss", fwd, params, batch, bank)
     row("fwd+bwd", fwd_bwd, params, batch, bank)
     try:

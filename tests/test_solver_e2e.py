@@ -55,3 +55,68 @@ def test_tiny_clip_end_to_end(exp_dir):
     metrics = solver2.evaluate(solver2.test_cfgs[0])
     assert 0.0 <= metrics["top1"] <= 100.0
     assert metrics["n"] == 64
+
+
+def test_preemption_guard_signal_sets_flag(exp_dir):
+    """SIGTERM inside the guard sets the flag without killing the process."""
+    import signal
+    import threading
+
+    from declip_tpu.config import override, parse_config
+    from declip_tpu.solver import Solver
+
+    cfg = parse_config(str(exp_dir / "config.yaml"))
+    cfg = override(cfg, "lr_scheduler.kwargs.max_iter", 2)
+    cfg["_config_path"] = str(exp_dir / "config.yaml")
+    solver = Solver(cfg)
+
+    if threading.current_thread() is not threading.main_thread():
+        import pytest
+
+        pytest.skip("signal handlers require the main thread")
+    prev = signal.getsignal(signal.SIGTERM)
+    with solver._preemption_guard() as ev:
+        assert not ev.is_set()
+        os.kill(os.getpid(), signal.SIGTERM)
+        assert ev.wait(10), "SIGTERM did not set the preemption flag"
+    # previous handler restored on exit
+    assert signal.getsignal(signal.SIGTERM) is prev
+
+
+def test_preemption_saves_and_resumes(exp_dir):
+    """A preemption flag mid-run cuts a checkpoint at the next step boundary;
+    auto_resume continues from it. Eval is skipped (the grace window is for
+    IO)."""
+    import threading
+
+    from declip_tpu.config import override, parse_config
+    from declip_tpu.solver import Solver
+
+    cfg = parse_config(str(exp_dir / "config.yaml"))
+    cfg = override(cfg, "lr_scheduler.kwargs.max_iter", 500)
+    cfg = override(cfg, "saver.save_freq", 1000)  # only the preempt save
+    cfg = override(cfg, "saver.print_freq", 1)
+    cfg["_config_path"] = str(exp_dir / "config.yaml")
+
+    solver = Solver(cfg)
+
+    def set_flag_once_running():
+        import time
+
+        while getattr(solver, "_preempt", None) is None:
+            time.sleep(0.01)
+        solver._preempt.set()  # deterministic stand-in for the signal
+
+    thr = threading.Thread(target=set_flag_once_running, daemon=True)
+    thr.start()
+    solver.train()
+    thr.join(5)
+
+    # stopped early, final checkpoint written, eval skipped
+    ckpts = [c for c in os.listdir(exp_dir / "checkpoints")
+             if c.startswith("ckpt_")]
+    assert ckpts, "preemption wrote no checkpoint"
+    assert not (exp_dir / "results" / "results.txt.rank0").exists()
+
+    solver2 = Solver(cfg)
+    assert 0 < solver2.start_step < 500
