@@ -115,11 +115,16 @@ def variables_to_torch_state(variables) -> dict:
     return out
 
 
-def export_serving(config_path: str, out_dir: str, batch: int = 0):
+def export_serving(config_path: str, out_dir: str, batch: int = 0,
+                   quantize: str = ""):
     """Serialize encode_image / encode_text as StableHLO (jax.export).
 
     Uses the experiment's newest checkpoint (random init if none). Returns
-    the list of files written. batch=0 exports a symbolic batch dim."""
+    the list of files written. batch=0 exports a symbolic batch dim.
+    quantize="int8" bakes the dynamic-int8 Dense path (ops/quant.py) into
+    the exported graph — the TPU-era NNIE-INT8 analogue (the reference
+    quantized at the spring.nart export boundary too, convert.py:31-60)."""
+    import contextlib
     import os
 
     import jax.numpy as jnp
@@ -127,6 +132,8 @@ def export_serving(config_path: str, out_dir: str, batch: int = 0):
 
     from declip_tpu.tools._common import load_eval_model
 
+    if quantize not in ("", "int8"):
+        raise ValueError(f"unknown --quantize {quantize!r} (only 'int8')")
     model, variables = load_eval_model(config_path)
     res = getattr(model.visual, "input_resolution", 224)
     if batch:
@@ -145,14 +152,21 @@ def export_serving(config_path: str, out_dir: str, batch: int = 0):
 
     os.makedirs(out_dir, exist_ok=True)
     written = []
+    if quantize == "int8":
+        from declip_tpu.ops.quant import int8_inference
+        quant_ctx = int8_inference
+    else:
+        quant_ctx = contextlib.nullcontext
     for name, fn, spec in (("encode_image", encode_image, img_spec),
                            ("encode_text", encode_text, tok_spec)):
-        try:
-            exp = jexport.export(jax.jit(fn), platforms=("cpu", "tpu"))(spec)
-        except Exception:
-            # some lowerings are platform-specific; fall back to the
-            # exporting platform only
-            exp = jexport.export(jax.jit(fn))(spec)
+        with quant_ctx():  # interception happens at trace/export time
+            try:
+                exp = jexport.export(
+                    jax.jit(fn), platforms=("cpu", "tpu"))(spec)
+            except Exception:
+                # some lowerings are platform-specific; fall back to the
+                # exporting platform only
+                exp = jexport.export(jax.jit(fn))(spec)
         path = os.path.join(out_dir, f"{name}.stablehlo")
         with open(path, "wb") as f:
             f.write(exp.serialize())
@@ -167,13 +181,16 @@ def main(argv=None):
     ap.add_argument("--export-serving", action="store_true")
     ap.add_argument("--serving-batch", type=int, default=0,
                     help="pin the serving batch dim (default: symbolic)")
+    ap.add_argument("--quantize", default="",
+                    help="'int8': export with dynamic-int8 Dense matmuls "
+                         "(ops/quant.py; ~2x MXU rate on v5e)")
     ap.add_argument("--config", required=True)
     ap.add_argument("--out", required=True)
     args = ap.parse_args(argv)
 
     if args.export_serving:
         for path in export_serving(args.config, args.out,
-                                   args.serving_batch):
+                                   args.serving_batch, args.quantize):
             print(f"exported {path}")
         return
 
