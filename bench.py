@@ -49,7 +49,8 @@ BENCH_STEPS = 20
 def build(model_name: str, per_chip_batch: int, remat: bool,
           loss_impl: str = "full", remat_policy: str = "policy",
           mlm_max_positions: int = 24, scan_unroll: int = -1,
-          attn_impl: str = "xla", fuse_views: bool = False):
+          attn_impl: str = "xla", fuse_views: bool = False,
+          grad_cache: int = 0):
     from declip_tpu.config import parse_config
     from declip_tpu.models import model_entry
     from declip_tpu.models.memory_bank import init_bank
@@ -157,6 +158,10 @@ grad_clip: {type: logit_scale_param_value, value: 3, max_value: 6}
         opt_state=tx.init(params), bank_text=bank,
     )
     cfg["loss_impl"] = {"type": loss_impl}
+    if grad_cache:
+        # GradCache chunked-batch step (train/grad_cache.py): exact
+        # full-batch InfoNCE gradients at 1/chunks tower-activation memory
+        cfg["grad_cache"] = {"chunks": grad_cache}
     mesh = None
     if n_chips > 1 or loss_impl == "ring":
         # shard the batch over the data axis, replicate state — without this
@@ -200,10 +205,11 @@ def _step_flops(step, state, batch):
 def run(model_name: str, per_chip_batch: int, remat: bool = False,
         loss_impl: str = "full", remat_policy: str = "policy",
         mlm_max_positions: int = 24, scan_unroll: int = -1,
-        attn_impl: str = "xla", fuse_views: bool = False):
+        attn_impl: str = "xla", fuse_views: bool = False,
+        grad_cache: int = 0):
     step, state, batch, b, n_chips = build(
         model_name, per_chip_batch, remat, loss_impl, remat_policy,
-        mlm_max_positions, scan_unroll, attn_impl, fuse_views)
+        mlm_max_positions, scan_unroll, attn_impl, fuse_views, grad_cache)
     flops = _step_flops(step, state, batch)
     for _ in range(WARMUP_STEPS):
         state, metrics = step(state, batch)
@@ -536,6 +542,9 @@ def main():
                          "(full vs chunked) up to the full impl's OOM wall")
     ap.add_argument("--decode-bench", action="store_true",
                     help="host JPEG decode throughput (native C++ vs PIL)")
+    ap.add_argument("--grad-cache", type=int, default=0, metavar="M",
+                    help="GradCache chunked step: exact full-batch grads "
+                         "at 1/M activation memory (ViT models only)")
     ap.add_argument("--encode", action="store_true",
                     help="serving encode_image throughput, bf16 vs "
                          "dynamic-int8 (ops/quant.py)")
@@ -605,7 +614,7 @@ def main():
                           args.remat_policy
                           or DEFAULT_REMAT_POLICY[args.model],
                           mlm_positions, args.scan_unroll, args.attn_impl,
-                          args.fuse_views)
+                          args.fuse_views, args.grad_cache)
         print(json.dumps(_line(args.model, pairs, suffix, perf)))
         return
 

@@ -123,3 +123,51 @@ class MultiClsEvaluator:
 
 def build_evaluator(cfg) -> object:
     return EVALUATORS.build(cfg)
+
+
+@EVALUATORS.register(name="retrieval")
+class RetrievalEvaluator:
+    """Image<->text retrieval R@K + rank statistics.
+
+    Beyond-reference (the reference evaluates classification only,
+    prototype/data/metrics/): the standard CLIP-paper retrieval protocol —
+    each image's paired caption is the single positive; reports
+    i2t/t2i R@{1,5,10}, mean and median rank. The similarity matrix is
+    processed in row chunks so a 50k-sample val set never materializes the
+    full [N, N] (fp32 ~10GB).
+
+    Ties rank conservatively (rank = 1 + #strictly-greater), so degenerate
+    constant embeddings score ~0, not 100.
+    """
+
+    def __init__(self, topk: Sequence[int] = (1, 5, 10),
+                 chunk: int = 1024):
+        self.topk = tuple(topk)
+        self.chunk = int(chunk)
+
+    def _ranks(self, q: np.ndarray, g: np.ndarray) -> np.ndarray:
+        """rank[i] of gallery item i for query i (1-based)."""
+        n = q.shape[0]
+        ranks = np.empty((n,), np.int64)
+        for beg in range(0, n, self.chunk):
+            end = min(beg + self.chunk, n)
+            sim = q[beg:end] @ g.T  # [chunk, N]
+            true = sim[np.arange(end - beg), np.arange(beg, end)]
+            ranks[beg:end] = 1 + (sim > true[:, None]).sum(axis=-1)
+        return ranks
+
+    def eval_arrays(self, img_emb: np.ndarray, txt_emb: np.ndarray) -> Metric:
+        img = np.asarray(img_emb, np.float32)
+        txt = np.asarray(txt_emb, np.float32)
+        img = img / np.maximum(
+            np.linalg.norm(img, axis=-1, keepdims=True), 1e-12)
+        txt = txt / np.maximum(
+            np.linalg.norm(txt, axis=-1, keepdims=True), 1e-12)
+        res: Dict = {"n": int(img.shape[0])}
+        for name, ranks in (("i2t", self._ranks(img, txt)),
+                            ("t2i", self._ranks(txt, img))):
+            for k in self.topk:
+                res[f"{name}_r{k}"] = float(100.0 * (ranks <= k).mean())
+            res[f"{name}_mean_rank"] = float(ranks.mean())
+            res[f"{name}_median_rank"] = float(np.median(ranks))
+        return Metric(res, cmp_key="i2t_r1")

@@ -764,6 +764,8 @@ class Solver:
         return jnp.stack(out)
 
     def evaluate(self, tcfg: Dict, *, use_ema: bool = False) -> Metric:
+        if (tcfg.get("evaluation") or {}).get("type") == "retrieval":
+            return self.evaluate_retrieval(tcfg, use_ema=use_ema)
         state = self.state
         params = state.ema_params if use_ema else state.params
         if use_ema and self.ema_cfg is not None and not self.ema_cfg.copy_init:
@@ -882,6 +884,82 @@ class Solver:
             return Metric({"top1": 0.0, "top5": 0.0, "n": 0})
         return evaluator.eval_arrays(
             np.concatenate(all_scores), np.concatenate(all_labels))
+
+    def evaluate_retrieval(self, tcfg: Dict, *, use_ema: bool = False
+                           ) -> Metric:
+        """Image<->text retrieval eval (beyond-reference; the reference
+        evaluates classification only). Config: a data.test entry with
+        ``evaluation: {type: retrieval, kwargs: {topk: [1, 5, 10]}}`` —
+        every sample's own caption is its positive. Embeddings are encoded
+        batched, metrics computed host-side by RetrievalEvaluator; under
+        multi-host each rank dumps its interleaved shard (index-keyed .npz,
+        the results.txt.rank* pattern) and rank 0 reassembles the global
+        order before ranking."""
+        from declip_tpu.data.evaluator import RetrievalEvaluator
+
+        state = self.state
+        params = state.ema_params if use_ema else state.params
+        dataset, batch_size = self._eval_loader(tcfg)
+        encode_image = self._encode_image_fn(state.batch_stats)
+        encode_text = self._encode_text_fn()
+        tok = get_tokenizer()
+        n = len(dataset)
+        idx_batches = [
+            range(beg, min(beg + batch_size, n))
+            for beg in range(self.rank * batch_size, n,
+                             batch_size * self.world)
+        ]
+        idx_all, img_all, txt_all = [], [], []
+        for idxs in idx_batches:
+            items = [dataset[i] for i in idxs]
+            imgs = np.stack([it["image"] for it in items])
+            toks = np.asarray(tok.tokenize([it["caption"] for it in items]))
+            valid = imgs.shape[0]
+            if valid < batch_size:  # pad to the jitted shape
+                imgs = np.concatenate(
+                    [imgs, np.repeat(imgs[-1:], batch_size - valid, 0)])
+                toks = np.concatenate(
+                    [toks, np.repeat(toks[-1:], batch_size - valid, 0)])
+            emb_i = np.asarray(encode_image(params, jnp.asarray(imgs)),
+                               np.float32)[:valid]
+            emb_t = np.asarray(encode_text(params, jnp.asarray(toks)),
+                               np.float32)[:valid]
+            idx_all.append(np.asarray(idxs, np.int64))
+            img_all.append(emb_i)
+            txt_all.append(emb_t)
+
+        kwargs = dict((tcfg.get("evaluation") or {}).get("kwargs") or {})
+        evaluator = RetrievalEvaluator(**kwargs)
+        idx = (np.concatenate(idx_all) if idx_all
+               else np.zeros((0,), np.int64))
+        img = (np.concatenate(img_all) if img_all
+               else np.zeros((0, 1), np.float32))
+        txt = (np.concatenate(txt_all) if txt_all
+               else np.zeros((0, 1), np.float32))
+        if self.world > 1:
+            from jax.experimental import multihost_utils
+
+            from declip_tpu.parallel.comms import broadcast_object
+
+            shard = osp.join(self.path.result_path,
+                             f"retrieval.rank{self.rank}.npz")
+            np.savez(shard, idx=idx, img=img, txt=txt)
+            multihost_utils.sync_global_devices("retrieval_dump")
+            if self.rank == 0:
+                import glob as _glob
+
+                parts = [np.load(p) for p in sorted(_glob.glob(
+                    osp.join(self.path.result_path, "retrieval.rank*.npz")))]
+                idx = np.concatenate([p["idx"] for p in parts])
+                order = np.argsort(idx)
+                img = np.concatenate([p["img"] for p in parts])[order]
+                txt = np.concatenate([p["txt"] for p in parts])[order]
+                metrics = evaluator.eval_arrays(img, txt)
+            else:
+                metrics = None
+            return broadcast_object(metrics)
+        order = np.argsort(idx)
+        return evaluator.eval_arrays(img[order], txt[order])
 
     def _dense_class_embeddings(self, params, label_texts, n_class):
         """Token-wise class embeddings for FILIP dense zero-shot eval

@@ -132,7 +132,10 @@ def make_train_step(
 
     ssl_methods = ("moco", "simclr", "clsa")
 
-    def loss_fn(params, state: TrainState, batch, ssl_state=None):
+    def forward_out(params, state: TrainState, batch):
+        """Tower forward only: per-sample outputs + mutated collections.
+        Split from the loss assembly so the grad-cache path (grad_cache.py)
+        can run it chunked without re-stating the method dispatch."""
         variables = {"params": params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
@@ -141,6 +144,62 @@ def make_train_step(
         out, mutated = model.apply(
             variables, batch, train=True, mutable=["batch_stats", "moe"]
         )
+        return out, mutated
+
+    def losses_from_out(params, out, state: TrainState, moe_aux):
+        """Loss assembly over per-sample tower outputs. Differentiable in
+        (params, out): params re-enter only through the nn-SimSiam bank
+        projector (declip_model.project_nn_text), whose forward is [B, D]
+        vectors — cheap enough to live in the loss pass."""
+        nn_kwargs = {}
+        if use_bank:
+            nn = query_topk(state.bank_text, out["text_embed"], nn_topk)
+            nn_aug = query_topk(
+                state.bank_text, out["text_embed_aug"], nn_topk)
+            nn = tuple(l2_normalize(t, eps=1e-10) for t in nn)
+            nn_aug = tuple(l2_normalize(t, eps=1e-10) for t in nn_aug)
+            nn_kwargs = {"nn_text": nn, "nn_text_aug": nn_aug}
+            if use_nn_simsiam:
+                # p_text comes from the main forward (params/BN stats created
+                # there); the bank features go through the projector on
+                # running statistics (declip_model.project_nn_text)
+                variables = {"params": params}
+                if state.batch_stats:
+                    variables["batch_stats"] = state.batch_stats
+                z_nn = [
+                    model.apply(variables, t, method="project_nn_text")
+                    for t in nn
+                ]
+                nn_kwargs["nn_simsiam"] = (out["nn_simsiam_p_text"], z_nn)
+
+        if method == "clip":
+            total, metrics = method_losses.clip_losses(
+                out, cfg, axis_name, pair_loss)
+        elif method == "slip":
+            total, metrics = method_losses.slip_losses(
+                out, cfg, axis_name, pair_loss)
+        elif method == "filip":
+            total, metrics = method_losses.filip_losses(
+                out, cfg, axis_name, pair_loss)
+        elif method == "declip":
+            total, metrics = method_losses.declip_losses(
+                out, cfg, axis_name, step=state.step,
+                total_steps=total_steps, pair_loss=pair_loss, **nn_kwargs,
+            )
+        elif method == "defilip":
+            total, metrics = method_losses.defilip_losses(
+                out, cfg, axis_name, step=state.step,
+                total_steps=total_steps, pair_loss=pair_loss, **nn_kwargs,
+            )
+        else:
+            raise NotImplementedError(method)
+        if moe_aux is not None:
+            total = total + moe_aux
+            metrics["moe_aux_loss"] = moe_aux
+        return total, metrics
+
+    def loss_fn(params, state: TrainState, batch, ssl_state=None):
+        out, mutated = forward_out(params, state, batch)
         moe_aux = sum(jax.tree.leaves(mutated.get("moe", {})), 0.0)
 
         if method in ssl_methods:
@@ -171,48 +230,26 @@ def make_train_step(
             return total, (metrics, mutated.get("batch_stats"), out,
                            ssl_extra)
 
-        nn_kwargs = {}
-        if use_bank:
-            nn = query_topk(state.bank_text, out["text_embed"], nn_topk)
-            nn_aug = query_topk(state.bank_text, out["text_embed_aug"], nn_topk)
-            nn = tuple(l2_normalize(t, eps=1e-10) for t in nn)
-            nn_aug = tuple(l2_normalize(t, eps=1e-10) for t in nn_aug)
-            nn_kwargs = {"nn_text": nn, "nn_text_aug": nn_aug}
-            if use_nn_simsiam:
-                # p_text comes from the main forward (params/BN stats created
-                # there); the bank features go through the projector on
-                # running statistics (declip_model.project_nn_text)
-                z_nn = [
-                    model.apply(variables, t, method="project_nn_text")
-                    for t in nn
-                ]
-                nn_kwargs["nn_simsiam"] = (out["nn_simsiam_p_text"], z_nn)
-
-        if method == "clip":
-            total, metrics = method_losses.clip_losses(
-                out, cfg, axis_name, pair_loss)
-        elif method == "slip":
-            total, metrics = method_losses.slip_losses(
-                out, cfg, axis_name, pair_loss)
-        elif method == "filip":
-            total, metrics = method_losses.filip_losses(
-                out, cfg, axis_name, pair_loss)
-        elif method == "declip":
-            total, metrics = method_losses.declip_losses(
-                out, cfg, axis_name, step=state.step,
-                total_steps=total_steps, pair_loss=pair_loss, **nn_kwargs,
-            )
-        elif method == "defilip":
-            total, metrics = method_losses.defilip_losses(
-                out, cfg, axis_name, step=state.step,
-                total_steps=total_steps, pair_loss=pair_loss, **nn_kwargs,
-            )
-        else:
-            raise NotImplementedError(method)
-        if mutated.get("moe"):  # structure is trace-static
-            total = total + moe_aux
-            metrics["moe_aux_loss"] = moe_aux
+        total, metrics = losses_from_out(
+            params, out, state,
+            moe_aux if mutated.get("moe") else None)
         return total, (metrics, mutated.get("batch_stats"), out, None)
+
+    gc_chunks = int((cfg.get("grad_cache") or {}).get("chunks", 0) or 0)
+    if gc_chunks > 1:
+        from declip_tpu.train.grad_cache import make_cached_value_and_grad
+
+        if method in ssl_methods:
+            raise NotImplementedError(
+                "grad_cache does not support SSL methods (queue/momentum "
+                "state couples steps)")
+        for tower in ("visual", "text"):
+            if getattr(getattr(model, tower, None), "moe_experts", 0):
+                raise NotImplementedError(
+                    "grad_cache + MoE towers: router capacity and aux loss "
+                    "are batch-coupled in the forward")
+        cached_value_and_grad = make_cached_value_and_grad(
+            forward_out, losses_from_out, gc_chunks, mesh=mesh)
 
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
         if device_aug is not None:
@@ -235,9 +272,19 @@ def make_train_step(
             ssl_state = momentum_update(
                 ssl_state, state.params, float(model.m))
 
-        (total, (metrics, new_stats, out, ssl_extra)), grads = \
-            jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params, state, batch, ssl_state)
+        if gc_chunks > 1:
+            if state.batch_stats:
+                # trace-time check: BN statistics couple samples inside the
+                # forward, which breaks GradCache's separability assumption
+                raise NotImplementedError(
+                    "grad_cache requires BatchNorm-free towers (ViT); this "
+                    "model carries batch_stats")
+            (total, (metrics, new_stats, out, ssl_extra)), grads = \
+                cached_value_and_grad(state.params, state, batch)
+        else:
+            (total, (metrics, new_stats, out, ssl_extra)), grads = \
+                jax.value_and_grad(loss_fn, has_aux=True)(
+                    state.params, state, batch, ssl_state)
 
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
