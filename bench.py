@@ -11,8 +11,9 @@ model/recipe (the reference publishes no numbers, SURVEY.md §6; the CLIP
 ViT-B/32 anchor is the standard public ~1000 pairs/sec/GPU at batch 128
 fp16).
 
-Variants: ``--model clip_vitb32|clip_vitb16|declip_res50|declip_vitb32``
-benches one model; ``--loss-impl full|chunked|ring`` selects the InfoNCE
+Variants: ``--model clip_vitb32|clip_vitb16|declip_res50|declip_vitb32|
+slip_vitb32|filip_vitb32|defilip_vitb32`` benches one model (every model
+family the framework trains); ``--loss-impl full|chunked|ring`` selects the InfoNCE
 implementation (SURVEY.md §5.7); ``--e2e`` includes the host input pipeline;
 ``--fuse-views`` A/Bs the DeCLIP tower-call fusion (README).
 """
@@ -40,6 +41,14 @@ A100_BASELINE = {
     # DeCLIP ViT-B/32: ~2.4x the CLIP B/32 step (2 image views + 2 text
     # passes + MLM head + SimSiam/NN heads), same scaling logic as R50's
     "declip_vitb32": 420.0,
+    # SLIP: 3 image-tower passes (base + 2 SimCLR views) + 1 text pass +
+    # SimCLR projector — ~2x the CLIP step by the same scaling logic
+    "slip_vitb32": 500.0,
+    # FILIP: CLIP step at embed 768 + MLM head + token-wise dense
+    # late-interaction loss over gathered top-16 tokens
+    "filip_vitb32": 700.0,
+    # DeFILIP = full DeCLIP recipe + the 4-way dense FILIP term
+    "defilip_vitb32": 350.0,
 }
 
 WARMUP_STEPS = 3
@@ -85,14 +94,24 @@ def build(model_name: str, per_chip_batch: int, remat: bool,
         }
         cfg = parse_config("{}")
         bank = None
-    elif model_name in ("declip_res50", "declip_vitb32"):
-        vit = model_name == "declip_vitb32"
+    elif model_name in ("declip_res50", "declip_vitb32", "defilip_vitb32"):
+        vit = model_name != "declip_res50"
+        defilip = model_name == "defilip_vitb32"
         dim = 512 if vit else 1024
         image_encode = {"embed_dim": dim}
         if vit:
             image_encode.update({"input_resolution": 224, "checkpoint": remat,
                                  "remat_policy": remat_policy,
                                  "scan_unroll": scan_unroll})
+        clip_kwargs = {"use_allgather": True, "text_mask_type": "MLM",
+                       "return_nn_bank": True, "feature_dim": dim,
+                       "mlm_max_positions": mlm_max_positions,
+                       "fuse_views": fuse_views}
+        if defilip:
+            # production recipe (experiments/defilip_experiments/
+            # yfcc15m_vit_defilip): DeCLIP assembly + 4-way dense FILIP
+            # term over gathered top-16 tokens
+            clip_kwargs.update({"return_filip": True, "select_topk": True})
         model = model_entry({
             "type": model_name,
             "kwargs": {
@@ -104,10 +123,7 @@ def build(model_name: str, per_chip_batch: int, remat: bool,
                                 "remat_policy": remat_policy,
                                 "scan_unroll": scan_unroll,
                                 "vocab_size": 49409},
-                "clip": {"use_allgather": True, "text_mask_type": "MLM",
-                         "return_nn_bank": True, "feature_dim": dim,
-                         "mlm_max_positions": mlm_max_positions,
-                         "fuse_views": fuse_views},
+                "clip": clip_kwargs,
                 "dtype": "bfloat16",
             },
         })
@@ -123,14 +139,87 @@ def build(model_name: str, per_chip_batch: int, remat: bool,
         }
         from declip_tpu.config import parse_config as _pc
 
+        filip_w = ", filip: 0.2" if defilip else ""
         cfg = _pc(
-            """
-clip_simsiam_loss_weight: {clip_loss: 0.4, nn_text: 0.2, simsiam_loss: 0.2, masking_language: 0.2}
-data: {train: {image_text_two_view: True}}
-grad_clip: {type: logit_scale_param_value, value: 3, max_value: 6}
+            f"""
+clip_simsiam_loss_weight: {{clip_loss: 0.4, nn_text: 0.2, simsiam_loss: 0.2, masking_language: 0.2{filip_w}}}
+data: {{train: {{image_text_two_view: True}}}}
+grad_clip: {{type: logit_scale_param_value, value: 3, max_value: 6}}
 """
         )
         bank = init_bank(jax.random.PRNGKey(1), 2 ** 16, dim)
+    elif model_name == "slip_vitb32":
+        # production recipe (experiments/slip_experiments/yfcc15m_vit_slip):
+        # 9-channel stacked input = base view for CLIP + 2 MoCo-style views
+        # through the image tower for the SimCLR term (models/slip_model.py)
+        model = model_entry({
+            "type": model_name,
+            "kwargs": {
+                "image_encode": {"embed_dim": 512, "input_resolution": 224,
+                                 "checkpoint": remat,
+                                 "remat_policy": remat_policy,
+                                 "scan_unroll": scan_unroll,
+                                 "attn_impl": attn_impl},
+                "text_encode": {"embed_dim": 512, "checkpoint": remat,
+                                "remat_policy": remat_policy,
+                                "scan_unroll": scan_unroll,
+                                "attn_impl": attn_impl},
+                "clip": {"use_allgather": True, "return_sim": True,
+                         "feature_dim": 768, "sim_dim": 256},
+                "dtype": "bfloat16",
+            },
+        })
+        batch = {
+            "images": jnp.asarray(
+                rng.normal(size=(b, 224, 224, 9)).astype(np.float32)),
+            "tokens": jnp.asarray(rng.integers(1, 40000, (b, 77)), jnp.int32),
+        }
+        cfg = parse_config(
+            "loss_weight: {clip_loss: 1, simclr_loss: 1}\n"
+            "grad_clip: {type: logit_scale_param_value, value: 3, "
+            "max_value: 6}\n")
+        bank = None
+    elif model_name == "filip_vitb32":
+        # production recipe (experiments/filip_experiments/yfcc15m_vit_filip):
+        # embed 768, MLM-masked main text pass (reference quirk kept), dense
+        # late-interaction InfoNCE over gathered top-16 tokens as the only
+        # weighted term (clip_dense_loss: 1.0)
+        model = model_entry({
+            "type": model_name,
+            "kwargs": {
+                "image_encode": {"embed_dim": 768, "input_resolution": 224,
+                                 "checkpoint": remat,
+                                 "remat_policy": remat_policy,
+                                 "scan_unroll": scan_unroll,
+                                 "attn_impl": attn_impl},
+                "text_encode": {"embed_dim": 768, "checkpoint": remat,
+                                "remat_policy": remat_policy,
+                                "scan_unroll": scan_unroll,
+                                "attn_impl": attn_impl,
+                                "vocab_size": 49409},
+                "clip": {"use_allgather": True, "text_mask_type": "MLM",
+                         "return_dense": True, "select_topk": True,
+                         "feature_dim": 768,
+                         "mlm_max_positions": mlm_max_positions},
+                "dtype": "bfloat16",
+            },
+        })
+        labels = np.full((b, 77), -100, np.int32)
+        labels[:, 1:12] = 7
+        batch = {
+            "images": jnp.asarray(
+                rng.normal(size=(b, 224, 224, 3)).astype(np.float32)),
+            "tokens": jnp.asarray(rng.integers(1, 500, (b, 77)), jnp.int32),
+            "mlm_tokens": jnp.asarray(
+                rng.integers(1, 500, (b, 77)), jnp.int32),
+            "mlm_labels": jnp.asarray(labels),
+        }
+        cfg = parse_config(
+            "clip_simsiam_loss_weight: {clip_loss: 0.0, "
+            "clip_dense_loss: 1.0, masking_language: 0.0}\n"
+            "grad_clip: {type: logit_scale_param_value, value: 3, "
+            "max_value: 6}\n")
+        bank = None
     else:
         raise SystemExit(f"unknown model {model_name}")
 
@@ -493,12 +582,17 @@ def run_decode_bench(n_images: int = 200, src_size=(512, 384),
 
 
 LABELS = {"clip_vitb32": "CLIP ViT-B/32", "clip_vitb16": "CLIP ViT-B/16",
-          "declip_res50": "DeCLIP-R50", "declip_vitb32": "DeCLIP ViT-B/32"}
+          "declip_res50": "DeCLIP-R50", "declip_vitb32": "DeCLIP ViT-B/32",
+          "slip_vitb32": "SLIP ViT-B/32", "filip_vitb32": "FILIP ViT-B/32",
+          "defilip_vitb32": "DeFILIP ViT-B/32"}
 DEFAULT_BATCH = {"clip_vitb32": 128, "clip_vitb16": 64, "declip_res50": 128,
-                 "declip_vitb32": 128}
+                 "declip_vitb32": 128, "slip_vitb32": 128,
+                 "filip_vitb32": 128, "defilip_vitb32": 128}
 # per-model measured optima (paired A/B on v5e, README)
 DEFAULT_REMAT_POLICY = {"clip_vitb32": "dots", "clip_vitb16": "dots",
-                        "declip_res50": "policy", "declip_vitb32": "dots"}
+                        "declip_res50": "policy", "declip_vitb32": "dots",
+                        "slip_vitb32": "dots", "filip_vitb32": "dots",
+                        "defilip_vitb32": "dots"}
 
 
 def _line(model: str, pairs: float, suffix: str = "", perf=None) -> dict:
