@@ -183,7 +183,23 @@ def main():
         emb = out[0] if isinstance(out, tuple) else out
         return (emb.astype(jnp.float32) ** 2).mean()
 
+    def img_loss_eval(p, x):
+        out = model.apply(vars_of(p), x, train=False, method="encode_image")
+        return (out.astype(jnp.float32) ** 2).mean()
+
+    img_fwd_train = jax.jit(lambda p, x: model.apply(
+        vars_of(p), x, train=True, mutable=["batch_stats"],
+        method="encode_image")[0])
+
+    # three-way split of the image-tower backward excess (R50 measured
+    # bwd/fwd ~3.1x vs the ~2x conv dgrad+wgrad ideal):
+    #   fwd(train) - fwd(eval)      = BN batch-stats forward reductions
+    #   f+b(train) - f+b(eval)      = BN-stats path in fwd AND bwd
+    #   f+b(eval)  - 3x fwd(eval)   = conv wgrad/dgrad MXU inefficiency
+    row("image fwd (train)", img_fwd_train, params, one_view)
     row("image fwd+bwd", jax.jit(jax.grad(img_loss)), params, one_view)
+    row("image f+b (eval-BN)", jax.jit(jax.grad(img_loss_eval)), params,
+        one_view)
     row("text fwd+bwd", jax.jit(jax.grad(txt_loss)), params,
         batch["tokens"])
     row("full fwd+loss", fwd, params, batch, bank)

@@ -324,3 +324,33 @@ def test_scan_unroll_variants_match():
         for a, b in zip(jax.tree.leaves(ref_grad), jax.tree.leaves(grad)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-7)
+
+
+def test_bank_query_matches_naive():
+    """query_topk's fused form (no normalized-bank materialization; argmax
+    at k=1) equals the reference's normalize-both-then-top_k math
+    (nn_memory_bank.py:56-65) — raw rows returned, indices invariant to the
+    query scale and to the bank-copy normalization."""
+    from declip_tpu.models.memory_bank import BankState, query_topk
+
+    rng = np.random.default_rng(3)
+    # RAW (unnormalized) rows, as enqueued mid-training; mixed magnitudes
+    bank = jnp.asarray(rng.normal(size=(96, 16)) * rng.uniform(
+        0.1, 8.0, size=(96, 1)), jnp.float32)
+    state = BankState(bank, jnp.zeros((), jnp.int32))
+    x = jnp.asarray(rng.normal(size=(7, 16)) * 5.0, jnp.float32)
+
+    def naive(x, bank, k):
+        xn = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+        bn = bank / jnp.linalg.norm(bank, axis=-1, keepdims=True)
+        sim = xn @ bn.T
+        _, idx = jax.lax.top_k(sim, k)
+        return tuple(bank[idx[:, i]] for i in range(k))
+
+    for k in (1, 3):
+        got = query_topk(state, x, k)
+        want = naive(x, bank, k)
+        assert len(got) == k
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       rtol=1e-5, atol=1e-6)
