@@ -18,37 +18,13 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+from declip_tpu.data.synthetic_shapes import CLASSES, render
+
 RES = 32
-COLORS = {
-    "red": (1.0, 0.1, 0.1),
-    "green": (0.1, 1.0, 0.1),
-    "blue": (0.2, 0.3, 1.0),
-    "yellow": (1.0, 1.0, 0.1),
-}
-SHAPES = ("square", "circle", "triangle", "cross")
-CLASSES = [(c, s) for c in COLORS for s in SHAPES]
 
 
 def _render(rng: np.random.Generator, color: str, shape: str) -> np.ndarray:
-    img = np.zeros((RES, RES, 3), np.float32)
-    img += rng.normal(0, 0.02, img.shape).astype(np.float32)
-    r = rng.integers(5, 9)  # half-size jitter
-    cy, cx = rng.integers(r + 1, RES - r - 1, 2)
-    yy, xx = np.mgrid[0:RES, 0:RES]
-    if shape == "square":
-        mask = (abs(yy - cy) <= r) & (abs(xx - cx) <= r)
-    elif shape == "circle":
-        mask = (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
-    elif shape == "triangle":
-        mask = (yy >= cy - r) & (yy <= cy + r) & (
-            abs(xx - cx) <= (yy - (cy - r)) / 2)
-    else:  # cross
-        mask = ((abs(yy - cy) <= r) & (abs(xx - cx) <= 2)) | (
-            (abs(xx - cx) <= r) & (abs(yy - cy) <= 2))
-    shade = rng.uniform(0.6, 1.0)
-    for ch, v in enumerate(COLORS[color]):
-        img[..., ch][mask] = v * shade
-    return img
+    return render(rng, color, shape, res=RES)
 
 
 def _batch(rng, tok, n):
