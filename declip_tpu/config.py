@@ -59,6 +59,10 @@ def parse_config(path_or_str: str) -> Cfg:
         cfg = _wrap(raw or {})
         cfg["_config_path"] = os.path.abspath(path_or_str)
     else:
+        if path_or_str.endswith((".yaml", ".yml")) and "\n" not in path_or_str:
+            # a mistyped PATH, not literal YAML — yaml.safe_load would
+            # silently wrap the path string and fail confusingly downstream
+            raise FileNotFoundError(f"config file not found: {path_or_str}")
         cfg = _wrap(yaml.safe_load(io.StringIO(path_or_str)) or {})
     return cfg
 

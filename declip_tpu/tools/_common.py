@@ -37,7 +37,11 @@ def load_eval_model(config_path: str) -> Tuple[Any, Dict]:
         import jax.numpy as jnp
 
         res = getattr(model.visual, "input_resolution", 224)
-        batch = {"images": jnp.zeros((1, res, res, 3), jnp.float32),
+        # image-channel layout is per method family: CLIP/FILIP see one
+        # view, DeCLIP/DeFILIP stack two on channels, SLIP stacks three
+        views = {"declip": 2, "defilip": 2, "slip": 3}.get(
+            str(cfg.model.type).split("_")[0], 1)
+        batch = {"images": jnp.zeros((1, res, res, 3 * views), jnp.float32),
                  "tokens": jnp.ones((1, 77), jnp.int32),
                  "tokens_aug": jnp.ones((1, 77), jnp.int32),
                  "mlm_tokens": jnp.ones((1, 77), jnp.int32),
