@@ -89,6 +89,41 @@ def _enable_compile_cache():
         pass
 
 
+def make_class_embed_fn(apply_fn, prompts_num: int, classes_per_call: int):
+    """Jitted [cpc*P, L] token chunk -> [cpc, ...] normalized class embeds.
+
+    apply_fn(params, ids) returns raw text embeddings ([rows, D] pooled or
+    [rows, Ltok, D] dense). The reduction reproduces the reference per-class
+    math exactly (clip_solver.py:688-700 / filip_solver.py:845-860):
+    L2-normalize each prompt embedding, mean over the class's prompts,
+    L2-normalize the mean."""
+
+    def fn(params, chunk_ids):
+        emb = apply_fn(params, chunk_ids)
+        emb = l2_normalize(emb)
+        emb = emb.reshape((classes_per_call, prompts_num) + emb.shape[1:])
+        return l2_normalize(emb.mean(axis=1))
+
+    return jax.jit(fn)
+
+
+def batched_class_embeddings(embed_fn, params, ids, n_class: int,
+                             prompts_num: int, classes_per_call: int):
+    """Drive a make_class_embed_fn over all classes; the tail chunk is padded
+    with copies of the last class so every dispatch shares one static shape
+    (single compile)."""
+    ids = np.asarray(ids)
+    out = []
+    for beg in range(0, n_class, classes_per_call):
+        cls = min(classes_per_call, n_class - beg)
+        chunk = ids[beg * prompts_num:(beg + cls) * prompts_num]
+        if cls < classes_per_call:
+            pad = np.tile(chunk[-prompts_num:], (classes_per_call - cls, 1))
+            chunk = np.concatenate([chunk, pad])
+        out.append(np.asarray(embed_fn(params, jnp.asarray(chunk)))[:cls])
+    return jnp.asarray(np.concatenate(out))
+
+
 class Solver:
     def __init__(self, config, *, devices=None):
         if isinstance(config, str):
@@ -740,9 +775,35 @@ class Solver:
         jit_fn = self._jit_encode_image
         return lambda params, images: jit_fn(params, batch_stats, images)
 
+    def _class_embed_fn(self, *, dense: bool, prompts_num: int,
+                        classes_per_call: int):
+        """Cached jitted chunk encoder for the two class-embedding flavors
+        (fresh closures would defeat jax.jit's cache every validate())."""
+        cache = getattr(self, "_class_emb_cache", None)
+        if cache is None:
+            cache = self._class_emb_cache = {}
+        key = (dense, prompts_num, classes_per_call)
+        if key not in cache:
+            method = "encode_text_dense" if dense else "encode_text"
+
+            def apply_fn(params, chunk_ids):
+                return self.model.apply(
+                    {"params": params}, chunk_ids, method=method)
+
+            cache[key] = make_class_embed_fn(
+                apply_fn, prompts_num, classes_per_call)
+        return cache[key]
+
     def class_embeddings(self, params, label_texts: List[str], n_class: int
                          ) -> jnp.ndarray:
-        """Prompt-ensemble class embeddings (clip_solver.py:688-700)."""
+        """Prompt-ensemble class embeddings (clip_solver.py:688-700).
+
+        The reference encodes each class's prompt block as its own [P, 77]
+        forward — 1000 serial tiny dispatches that leave the chip idle
+        between launches. Classes are packed into [cpc*P, 77] chunks here
+        (one static shape => one compile), with the normalize->mean->
+        normalize reduction inside the jitted call; per-class math is
+        unchanged (tests/test_class_embed_batched.py)."""
         tok = get_tokenizer()
         if n_class == 0:
             raise ValueError(
@@ -752,25 +813,22 @@ class Solver:
                 "class_names)."
             )
         prompts_num = len(label_texts) // n_class
-        encode = self._encode_text_fn()
-        out = []
-        for c in range(n_class):
-            texts = label_texts[c * prompts_num:(c + 1) * prompts_num]
-            ids = jnp.asarray(tok.tokenize(texts))
-            emb = encode(params, ids)
-            emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
-            mean = emb.mean(axis=0)
-            out.append(mean / jnp.linalg.norm(mean))
-        return jnp.stack(out)
+        ids = np.asarray(tok.tokenize(label_texts))
+        cpc = min(max(1, 2048 // prompts_num), n_class)
+        embed = self._class_embed_fn(
+            dense=False, prompts_num=prompts_num, classes_per_call=cpc)
+        return batched_class_embeddings(
+            embed, params, ids, n_class, prompts_num, cpc)
 
     def evaluate(self, tcfg: Dict, *, use_ema: bool = False) -> Metric:
         if (tcfg.get("evaluation") or {}).get("type") == "retrieval":
             return self.evaluate_retrieval(tcfg, use_ema=use_ema)
         state = self.state
+        # copy_init=False zero-init EMA shadows are never debiased — same as
+        # the reference (ema.py:27-33 zero-inits, step() never corrects); the
+        # warmup ramp min(decay, (1+t)/(warmup+t)) makes early decays ~0 so
+        # the bias washes out within ~warmup steps.
         params = state.ema_params if use_ema else state.params
-        if use_ema and self.ema_cfg is not None and not self.ema_cfg.copy_init:
-            # zero-init EMA shadows are debiased only implicitly by long runs
-            pass
         dataset, batch_size = self._eval_loader(tcfg)
         label_texts, ensemble = dataset.get_label_texts()
         n_class = ensemble.shape[0]
@@ -963,21 +1021,16 @@ class Solver:
 
     def _dense_class_embeddings(self, params, label_texts, n_class):
         """Token-wise class embeddings for FILIP dense zero-shot eval
-        (filip_solver.py:839-960): mean over prompts of dense token features."""
+        (filip_solver.py:839-960): mean over prompts of dense token features,
+        batched into multi-class chunks like class_embeddings."""
         tok = get_tokenizer()
         prompts_num = len(label_texts) // n_class
-        if not hasattr(self, "_jit_encode_text_dense"):
-            self._jit_encode_text_dense = jax.jit(
-                partial(self.model.apply, method="encode_text_dense"))
-        encode = self._jit_encode_text_dense
-        out = []
-        for c in range(n_class):
-            ids = jnp.asarray(tok.tokenize(
-                label_texts[c * prompts_num:(c + 1) * prompts_num]))
-            d = encode({"params": params}, ids)  # [P, L, D]
-            d = l2_normalize(d)
-            out.append(d.mean(axis=0))
-        return l2_normalize(jnp.stack(out))  # [C, L, D]
+        ids = np.asarray(tok.tokenize(label_texts))
+        cpc = min(max(1, 512 // prompts_num), n_class)
+        embed = self._class_embed_fn(
+            dense=True, prompts_num=prompts_num, classes_per_call=cpc)
+        return batched_class_embeddings(
+            embed, params, ids, n_class, prompts_num, cpc)  # [C, L, D]
 
 
 def main(argv: Optional[List[str]] = None):
