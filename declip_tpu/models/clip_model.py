@@ -107,6 +107,31 @@ class CLIP(nn.Module):
         }
 
 
+def resolve_bn_stats_groups(bn_world: int, *, use_sync_bn: bool = True,
+                            bn_group_size: int = 1) -> int:
+    """Map the reference's BN config knobs to a batch-group count.
+
+    Mirrors modified_resnet.py:116-142: ``use_sync_bn: False`` binds plain
+    nn.BatchNorm2d (per-rank stats; bn_group_size ignored); otherwise stats
+    sync over contiguous groups of ``bn_group_size`` ranks. Returns the
+    number of contiguous groups the global batch axis splits into (1 =
+    global-batch stats)."""
+    if use_sync_bn is False:
+        return max(1, bn_world)
+    if bn_group_size > 1 and bn_world > bn_group_size:
+        if bn_world % bn_group_size:
+            import logging
+
+            logging.getLogger("declip_tpu").warning(
+                "bn_group_size=%d does not divide the data-parallel world "
+                "%d (the reference's simple_group_split would reject this "
+                "too) — falling back to global-batch BN statistics.",
+                bn_group_size, bn_world)
+            return 1
+        return bn_world // bn_group_size
+    return 1
+
+
 def build_towers(kwargs: dict, image_factory, *, default_text_width: int = 512):
     """Shared factory plumbing for all method models.
 
@@ -132,25 +157,27 @@ def build_towers(kwargs: dict, image_factory, *, default_text_width: int = 512):
                 if src in moe:
                     tk[dst] = moe[src]
     # use_sync_bn/bn_group_size/bn_sync_stats (declip88m configs,
-    # modified_resnet.py:116-142): under SPMD the batch is one logical array,
-    # so BN statistics are GLOBAL-batch — equivalent to SyncBN with
-    # group_size == world — regardless of these knobs. Per-group statistics
-    # exist only on the shard_map path (BatchNorm axis_index_groups,
-    # tests/test_grouped_bn.py). Say so loudly instead of silently differing.
-    if (image_kwargs.get("use_sync_bn") is False
-            or int(image_kwargs.get("bn_group_size") or 1) > 1):
-        if not image_kwargs.get("bn_axis_name"):
-            import logging
-
-            logging.getLogger("declip_tpu").warning(
-                "config requests use_sync_bn=%s bn_group_size=%s, but under "
-                "SPMD BatchNorm statistics are computed over the GLOBAL "
-                "batch (= SyncBN with group_size == world). Per-group stats "
-                "require the shard_map path (bn_axis_name + "
-                "axis_index_groups).",
-                image_kwargs.get("use_sync_bn", True),
-                image_kwargs.get("bn_group_size", 1),
-            )
+    # modified_resnet.py:116-142) resolve to per-group batch statistics
+    # inside the jitted SPMD step (BatchNorm.stats_groups, models/resnet.py):
+    # with the global batch laid out rank-contiguously over the 'data' mesh
+    # axis, reshape-grouped moments reproduce the reference's semantics
+    # exactly — use_sync_bn: False is plain per-rank BatchNorm2d
+    # (modified_resnet.py:141-142, bn_group_size is then IGNORED like the
+    # reference ignores it), use_sync_bn: True + bn_group_size: G is grouped
+    # SyncBN over world/G contiguous rank groups (simple_group_split,
+    # dist.py:39-46). The data-parallel world is injected by the caller as
+    # ``bn_world`` (the solver passes its mesh's data ways; plain
+    # single-device builds default to 1 = global stats, which IS SyncBN
+    # group==world there). Parity: tests/test_grouped_bn.py.
+    bn_world = int(image_kwargs.pop("bn_world", 1) or 1)
+    if ("use_sync_bn" in image_kwargs or "bn_group_size" in image_kwargs
+            ) and not image_kwargs.get("bn_axis_name"):
+        image_kwargs.setdefault(
+            "bn_stats_groups",
+            resolve_bn_stats_groups(
+                bn_world,
+                use_sync_bn=image_kwargs.get("use_sync_bn", True),
+                bn_group_size=int(image_kwargs.get("bn_group_size") or 1)))
     dtype = kwargs.get("dtype", jnp.float32)
     if isinstance(dtype, str):
         dtype = jnp.dtype(dtype)

@@ -9,9 +9,13 @@ TPU/JAX design notes:
 - BatchNorm: flax ``nn.BatchNorm`` with fp32 statistics. Under pjit/SPMD with
   the batch sharded over the mesh 'data' axis, batch statistics are computed
   over the *global* batch automatically (the mean over a sharded axis is an
-  XLA psum) — this subsumes the reference's grouped SyncBatchNorm kernels
-  (modified_resnet.py:121-142) with bn_group == world_size. An optional
-  ``bn_axis_name``/``bn_group_size`` supports grouped stats under shard_map.
+  XLA psum) — SyncBN with bn_group == world_size. The reference's OTHER BN
+  modes (modified_resnet.py:116-142) are honored via ``bn_stats_groups``:
+  contiguous reshape-groups of the global batch axis reproduce per-rank
+  plain BN (``use_sync_bn: False``) and grouped SyncBN (``bn_group_size``)
+  exactly, with no collective outside each shard group
+  (tests/test_bn_stats_groups.py). ``bn_axis_name`` + group lists support
+  the same under shard_map.
 - AttentionPool computes attention only for the pooled (mean) query token
   instead of full self-attention + row 0 (modified_resnet.py:75-96) —
   numerically identical, 50x less attention work.
@@ -19,6 +23,7 @@ TPU/JAX design notes:
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -34,18 +39,33 @@ Dtype = Any
 class BatchNorm(nn.Module):
     """BatchNorm2d/1d with fp32 stats; optionally synced over a mesh axis.
 
-    Grouped statistics (the reference's grouped SyncBN, bn_group_size,
-    modified_resnet.py:121-142) are computed manually via an axis all-gather
-    + static group mask: jax does not lower ``pmean`` with
-    ``axis_index_groups`` under shard_map."""
+    Grouped statistics come in two flavors:
+
+    - ``stats_groups > 1`` (the SPMD/jit path): the reference's grouped
+      SyncBN / per-rank plain BN (modified_resnet.py:121-142) expressed as
+      pure batch math — the global [N] batch axis is reshaped to
+      [G, N/G] and moments are taken per contiguous group. With the batch
+      sharded over the mesh 'data' axis in rank order, group g covers
+      exactly ranks [g*W/G, (g+1)*W/G) — the same contiguous rank groups
+      simple_group_split builds (dist.py:39-46). G == data-parallel world
+      reproduces ``use_sync_bn: False`` (plain per-rank BatchNorm2d);
+      G == world/bn_group_size reproduces grouped SyncBN. XLA keeps the
+      reduction local to each shard group (no global collective).
+    - ``axis_name + axis_index_groups`` (the shard_map path): computed
+      manually via an axis all-gather + static group mask: jax does not
+      lower ``pmean`` with ``axis_index_groups`` under shard_map."""
 
     dtype: Dtype = jnp.float32
     zero_scale: bool = False
     axis_name: Optional[str] = None
     axis_index_groups: Optional[Sequence[Sequence[int]]] = None
+    stats_groups: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
+        if train and self.stats_groups > 1 and self.axis_name is None:
+            return self._grouped_batch(
+                x.astype(jnp.float32)).astype(self.dtype)
         if (self.axis_name is not None and self.axis_index_groups is not None
                 and train):
             return self._grouped(x.astype(jnp.float32)).astype(self.dtype)
@@ -61,6 +81,33 @@ class BatchNorm(nn.Module):
             axis_name=self.axis_name,
         )(x.astype(jnp.float32))
         return y.astype(self.dtype)
+
+    def _grouped_batch(self, x: jax.Array) -> jax.Array:
+        """Per-group statistics over contiguous batch groups (jit/SPMD path).
+
+        Normalizes each sample with the moments of its batch group; running
+        statistics are updated with the GLOBAL moments so they stay
+        replica-consistent (delta: the reference keeps per-group running
+        stats per rank and checkpoints rank 0's — documented in PARITY.md)."""
+        g = self.stats_groups
+        n = x.shape[0]
+        if n % g:
+            raise ValueError(
+                f"BatchNorm stats_groups={g} must divide the batch axis "
+                f"({n}); check batch_size x data-parallel ways vs "
+                f"use_sync_bn/bn_group_size")
+        xs = x.reshape((g, n // g) + x.shape[1:])
+        axes = tuple(range(1, xs.ndim - 1))
+        mean = xs.mean(axis=axes, keepdims=True)                 # [G,1..1,C]
+        sq = (xs * xs).mean(axis=axes, keepdims=True)
+        var = jnp.maximum(sq - mean * mean, 0.0)
+        gmean = mean.mean(axis=0).reshape(-1)                    # [C]
+        gvar = jnp.maximum(
+            sq.mean(axis=0).reshape(-1) - gmean * gmean, 0.0)
+        y = _GroupedScaleBias(
+            zero_scale=self.zero_scale, name="BatchNorm_0"
+        )(xs, mean, var, global_mean=gmean, global_var=gvar)
+        return y.reshape(x.shape)
 
     def _grouped(self, x: jax.Array) -> jax.Array:
         """Normalize with statistics pooled over this device's rank group
@@ -145,31 +192,30 @@ class Bottleneck(nn.Module):
     dtype: Dtype = jnp.float32
     bn_axis_name: Optional[str] = None
     expansion: int = 4
+    bn_stats_groups: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
         inplanes = x.shape[-1]
         out_planes = self.planes * self.expansion
+        bn = partial(BatchNorm, self.dtype, axis_name=self.bn_axis_name,
+                     stats_groups=self.bn_stats_groups)
 
         out = _conv(self.planes, 1, "conv1", self.dtype)(x)
-        out = nn.relu(BatchNorm(self.dtype, axis_name=self.bn_axis_name, name="bn1")(out, train=train))
+        out = nn.relu(bn(name="bn1")(out, train=train))
         out = _conv(self.planes, 3, "conv2", self.dtype)(out)
-        out = nn.relu(BatchNorm(self.dtype, axis_name=self.bn_axis_name, name="bn2")(out, train=train))
+        out = nn.relu(bn(name="bn2")(out, train=train))
         if self.stride > 1:
             out = nn.avg_pool(out, (self.stride, self.stride), (self.stride, self.stride))
         out = _conv(out_planes, 1, "conv3", self.dtype)(out)
-        out = BatchNorm(
-            self.dtype, zero_scale=True, axis_name=self.bn_axis_name, name="bn3"
-        )(out, train=train)
+        out = bn(zero_scale=True, name="bn3")(out, train=train)
 
         if self.stride > 1 or inplanes != out_planes:
             identity = nn.avg_pool(
                 x, (self.stride, self.stride), (self.stride, self.stride)
             ) if self.stride > 1 else x
             identity = _conv(out_planes, 1, "downsample_conv", self.dtype)(identity)
-            identity = BatchNorm(
-                self.dtype, axis_name=self.bn_axis_name, name="downsample_bn"
-            )(identity, train=train)
+            identity = bn(name="downsample_bn")(identity, train=train)
         else:
             identity = x
         return nn.relu(out + identity)
@@ -232,11 +278,15 @@ class ModifiedResNet(nn.Module):
     width: int = 64
     dtype: Dtype = jnp.float32
     bn_axis_name: Optional[str] = None
-    # accepted for reference-config compatibility; stats are globally synced
-    # under SPMD so these only matter under shard_map (see module docstring)
+    # reference-config BN knobs (modified_resnet.py:116-142). Under SPMD they
+    # resolve to bn_stats_groups at build time (clip_model.build_towers):
+    # use_sync_bn=False -> one group per data-parallel replica (plain
+    # BatchNorm2d semantics); bn_group_size=G -> world/G contiguous rank
+    # groups (grouped SyncBN). bn_stats_groups=1 = global-batch stats.
     bn_group_size: int = 1
     bn_sync_stats: bool = False
     use_sync_bn: bool = True
+    bn_stats_groups: int = 1
     # modified_resnet_modified.py variant: attnpool emits the raw width*32
     # feature and a separate fc projects to embed_dim (fc_embed=True)
     fc_embed: bool = False
@@ -253,15 +303,17 @@ class ModifiedResNet(nn.Module):
         """x: [B, H, W, 3] NHWC -> [B, embed_dim]."""
         x = x.astype(self.dtype)
         w = self.width
+        bn = partial(BatchNorm, self.dtype, axis_name=self.bn_axis_name,
+                     stats_groups=self.bn_stats_groups)
 
         # 3-layer stem (modified_resnet.py:149-157); stride-2 first conv
         x = nn.Conv(w // 2, (3, 3), strides=2, padding=1, use_bias=False,
                     dtype=self.dtype, name="conv1")(x)
-        x = nn.relu(BatchNorm(self.dtype, axis_name=self.bn_axis_name, name="bn1")(x, train=train))
+        x = nn.relu(bn(name="bn1")(x, train=train))
         x = _conv(w // 2, 3, "conv2", self.dtype)(x)
-        x = nn.relu(BatchNorm(self.dtype, axis_name=self.bn_axis_name, name="bn2")(x, train=train))
+        x = nn.relu(bn(name="bn2")(x, train=train))
         x = _conv(w, 3, "conv3", self.dtype)(x)
-        x = nn.relu(BatchNorm(self.dtype, axis_name=self.bn_axis_name, name="bn3")(x, train=train))
+        x = nn.relu(bn(name="bn3")(x, train=train))
         x = nn.avg_pool(x, (2, 2), (2, 2))
 
         for stage, (blocks, planes, stride) in enumerate(
@@ -273,6 +325,7 @@ class ModifiedResNet(nn.Module):
                     stride=stride if i == 0 else 1,
                     dtype=self.dtype,
                     bn_axis_name=self.bn_axis_name,
+                    bn_stats_groups=self.bn_stats_groups,
                     name=f"layer{stage + 1}_{i}",
                 )(x, train=train)
 

@@ -202,6 +202,15 @@ class Solver:
         kwargs = dict(mcfg.get("kwargs") or {})
         prec = self.config.get_path("precision.dtype", "bfloat16")
         kwargs["dtype"] = prec
+        # BN grouping knobs (declip88m: use_sync_bn False / bn_group_size)
+        # need the data-parallel world to resolve rank groups into batch
+        # groups (clip_model.resolve_bn_stats_groups)
+        ik = kwargs.get("image_encode")
+        if isinstance(ik, dict) and (
+                "use_sync_bn" in ik or "bn_group_size" in ik):
+            ik = dict(ik)
+            ik.setdefault("bn_world", self.data_ways)
+            kwargs["image_encode"] = ik
         self.model = model_entry({"type": mcfg["type"], "kwargs": kwargs})
         self.method = method_of(self.model)
         self.logger.info(
