@@ -43,6 +43,10 @@ def _normalize_key(key: str) -> str:
         key = key[len("module."):]
     if key.startswith("encode_text."):
         key = "text." + key[len("encode_text."):]
+    # slip.py's CLIP variant names the text tower `text_encoder`
+    # (slip.py:118) where clip/declip/filip use `encode_text`
+    if key.startswith("text_encoder."):
+        key = "text." + key[len("text_encoder."):]
     key = re.sub(r"\blayer(\d)\.(\d+)\.", r"layer\1_\2.", key)
     key = re.sub(r"\bdownsample\.0\.", "downsample_conv.", key)
     key = re.sub(r"\bdownsample\.1\.", "downsample_bn.", key)
