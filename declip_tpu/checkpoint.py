@@ -9,6 +9,13 @@ clip_solver.py:128-176).
 Format: flax.serialization msgpack of the TrainState pytree plus a small
 JSON sidecar of metadata. The torch ``.pth.tar`` converter lives in
 declip_tpu/convert_pth.py.
+
+Storage: plain paths hit the local filesystem with atomic tmp+rename writes;
+any ``scheme://`` path (``gs://...``) routes through fsspec, where object
+uploads are already atomic-on-commit — TPU pods have GCS, not the shared
+cluster FS the reference assumed (declip_solver.py:796-815), so
+``saver.save_path: gs://bucket/run`` works end to end (save, auto-resume,
+k_times archives, GC, pretrain load).
 """
 
 from __future__ import annotations
@@ -25,6 +32,57 @@ from flax import serialization
 
 
 CKPT_RE = re.compile(r"ckpt_(\d+)\.msgpack$")
+
+
+def _fs_for(path: str):
+    """(fsspec filesystem, stripped path) for ``scheme://`` URLs, or
+    (None, path) for local filesystem paths."""
+    if "://" in str(path):
+        from fsspec.core import url_to_fs
+
+        return url_to_fs(str(path))
+    return None, str(path)
+
+
+def _join(dir_path: str, name: str) -> str:
+    return dir_path.rstrip("/") + "/" + name if "://" in str(dir_path) \
+        else os.path.join(dir_path, name)
+
+
+def _write_bytes(path: str, blob: bytes) -> None:
+    fs, p = _fs_for(path)
+    if fs is None:
+        with open(p + ".tmp", "wb") as f:
+            f.write(blob)
+        os.replace(p + ".tmp", p)  # readers never see a partial file
+    else:
+        # object stores commit atomically on close; no tmp+rename needed
+        # (GCS has no rename)
+        with fs.open(p, "wb") as f:
+            f.write(blob)
+
+
+def _open_read(path: str):
+    fs, p = _fs_for(path)
+    return open(p, "rb") if fs is None else fs.open(p, "rb")
+
+
+def _ensure_dir(path: str) -> None:
+    fs, p = _fs_for(path)
+    if fs is None:
+        os.makedirs(p, exist_ok=True)
+    else:
+        try:
+            fs.makedirs(p, exist_ok=True)
+        except Exception:
+            pass  # bucket stores have no directories
+
+
+def _mtime(fs, path: str) -> float:
+    try:
+        return fs.modified(path).timestamp()
+    except Exception:
+        return 0.0
 
 # single-worker writer so async saves serialize + land in submission order.
 # Device ops (device_get) stay on the CALLER's thread — background-thread
@@ -55,20 +113,13 @@ def wait_for_pending_saves() -> None:
 def _write_state(host_state, step: int, path: str, ckpt_dir: str,
                  k_times_dir: Optional[str]) -> str:
     blob = serialization.to_bytes(host_state)
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(blob)
-    os.replace(tmp, path)
-    meta_path = os.path.join(ckpt_dir, "ckpt_meta.json")
-    with open(meta_path + ".tmp", "w") as f:
-        json.dump({"last_iter": step, "path": path}, f)
-    os.replace(meta_path + ".tmp", meta_path)
+    _write_bytes(path, blob)
+    meta_path = _join(ckpt_dir, "ckpt_meta.json")
+    _write_bytes(meta_path,
+                 json.dumps({"last_iter": step, "path": path}).encode())
     if k_times_dir is not None:
-        os.makedirs(k_times_dir, exist_ok=True)
-        k_path = os.path.join(k_times_dir, f"ckpt_{step}.msgpack")
-        with open(k_path + ".tmp", "wb") as f:
-            f.write(blob)
-        os.replace(k_path + ".tmp", k_path)  # archival copy must be atomic
+        _ensure_dir(k_times_dir)
+        _write_bytes(_join(k_times_dir, f"ckpt_{step}.msgpack"), blob)
     return path
 
 
@@ -81,11 +132,11 @@ def save_checkpoint(ckpt_dir: str, state, *, save_many: bool = False,
     (seconds for GB-scale states) with training on a single writer thread;
     the device->host transfer still happens here, synchronously, so the
     donated train state can't be mutated under the writer."""
-    os.makedirs(ckpt_dir, exist_ok=True)
+    _ensure_dir(ckpt_dir)
     step = int(state.step)
     host_state = jax.device_get(state)
     name = f"ckpt_{step}.msgpack" if save_many else "ckpt.msgpack"
-    path = os.path.join(ckpt_dir, name)
+    path = _join(ckpt_dir, name)
     if async_write:
         _pending.append(_get_writer().submit(
             _write_state, host_state, step, path, ckpt_dir, k_times_dir))
@@ -97,25 +148,47 @@ def find_last_checkpoint(ckpt_dir: str) -> Optional[str]:
     """The NEWEST checkpoint among ckpt.msgpack and ckpt_<iter>.msgpack
     (clip_solver.py:167-176). Chosen by mtime so a stale plain file (from a
     save_many: False phase) never shadows newer step-named saves."""
+    fs, d = _fs_for(ckpt_dir)
     candidates = []
-    plain = os.path.join(ckpt_dir, "ckpt.msgpack")
-    if os.path.exists(plain):
-        candidates.append((os.path.getmtime(plain), plain))
-    for p in glob.glob(os.path.join(ckpt_dir, "ckpt_*.msgpack")):
-        if CKPT_RE.search(p):
-            candidates.append((os.path.getmtime(p), p))
+    if fs is None:
+        plain = os.path.join(d, "ckpt.msgpack")
+        if os.path.exists(plain):
+            candidates.append((os.path.getmtime(plain), 0, plain))
+        for p in glob.glob(os.path.join(d, "ckpt_*.msgpack")):
+            m = CKPT_RE.search(p)
+            if m:
+                candidates.append((os.path.getmtime(p), int(m.group(1)), p))
+        if not candidates:
+            return None
+        return max(candidates)[2]
+    plain = d.rstrip("/") + "/ckpt.msgpack"
+    if fs.exists(plain):
+        candidates.append((_mtime(fs, plain), 0, plain))
+    for p in fs.glob(d.rstrip("/") + "/ckpt_*.msgpack"):
+        m = CKPT_RE.search(p)
+        if m:
+            # step is the mtime tiebreak: some object stores don't expose
+            # modified() through fsspec (then all mtimes are 0.0)
+            candidates.append((_mtime(fs, p), int(m.group(1)), p))
     if not candidates:
         return None
-    return max(candidates)[1]
+    return fs.unstrip_protocol(max(candidates)[2])
 
 
 def list_checkpoints(ckpt_dir: str):
     """(step, path) ascending."""
+    fs, d = _fs_for(ckpt_dir)
     out = []
-    for p in glob.glob(os.path.join(ckpt_dir, "ckpt_*.msgpack")):
+    if fs is None:
+        for p in glob.glob(os.path.join(d, "ckpt_*.msgpack")):
+            m = CKPT_RE.search(p)
+            if m:
+                out.append((int(m.group(1)), p))
+        return sorted(out)
+    for p in fs.glob(d.rstrip("/") + "/ckpt_*.msgpack"):
         m = CKPT_RE.search(p)
         if m:
-            out.append((int(m.group(1)), p))
+            out.append((int(m.group(1)), fs.unstrip_protocol(p)))
     return sorted(out)
 
 
@@ -123,15 +196,16 @@ def gc_checkpoints(ckpt_dir: str, keep: int = 10) -> None:
     """Old-ckpt GC (declip_solver.py:570-576)."""
     ckpts = list_checkpoints(ckpt_dir)
     for _, p in ckpts[:-keep]:
+        fs, sp = _fs_for(p)
         try:
-            os.remove(p)
-        except OSError:
+            os.remove(sp) if fs is None else fs.rm(sp)
+        except (OSError, FileNotFoundError):
             pass
 
 
 def restore_checkpoint(path: str, target):
     """Restore into a template TrainState (shapes/dtypes from target)."""
-    with open(path, "rb") as f:
+    with _open_read(path) as f:
         blob = f.read()
     return serialization.from_bytes(target, blob)
 
@@ -176,7 +250,7 @@ def load_pretrain(path: str, state, ignore=()):
 
         raw = load_pth(path)
     else:
-        with open(path, "rb") as f:
+        with _open_read(path) as f:
             raw = serialization.msgpack_restore(f.read())
     unmatched: list = []
     params = _graft(jax.device_get(state.params), raw.get("params") or {},
@@ -201,10 +275,16 @@ def _orbax_manager(ckpt_dir: str, keep: int = 10):
     global _orbax_mgr
     import orbax.checkpoint as ocp
 
-    if _orbax_mgr is None or str(_orbax_mgr.directory) != os.path.abspath(
-            ckpt_dir):
+    # gs:// (or any URL) paths go to orbax/tensorstore verbatim — only
+    # local paths get absolutized
+    ckpt_dir = ckpt_dir if "://" in str(ckpt_dir) else os.path.abspath(
+        ckpt_dir)
+    if _orbax_mgr is None or str(_orbax_mgr.directory) != str(ckpt_dir):
+        if _orbax_mgr is not None:
+            _orbax_mgr.wait_until_finished()
+            _orbax_mgr.close()
         _orbax_mgr = ocp.CheckpointManager(
-            os.path.abspath(ckpt_dir),
+            ckpt_dir,
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=keep, create=True, enable_async_checkpointing=True
             ),
@@ -212,12 +292,12 @@ def _orbax_manager(ckpt_dir: str, keep: int = 10):
     return _orbax_mgr
 
 
-def save_checkpoint_orbax(ckpt_dir: str, state) -> None:
+def save_checkpoint_orbax(ckpt_dir: str, state, *, keep: int = 10) -> None:
     """Async sharded save; returns immediately, the write happens in the
     background (waits for any previous save first)."""
     import orbax.checkpoint as ocp
 
-    mgr = _orbax_manager(ckpt_dir)
+    mgr = _orbax_manager(ckpt_dir, keep=keep)
     mgr.save(int(state.step), args=ocp.args.StandardSave(state))
 
 

@@ -38,6 +38,31 @@ def broadcast_object(obj: Any, root: int = 0) -> Any:
     return pickle.loads(buf.tobytes())
 
 
+def gather_object(obj: Any) -> List[Any]:
+    """All-gather arbitrary pickleable objects across processes, returned in
+    process order (single-host: ``[obj]``).
+
+    Replaces the reference's shared-filesystem result merging
+    (base_dataset.py:122-139: every rank dumps results.txt.rank<i> and rank
+    0 reads them back — which requires NFS). Pods have no shared FS, so the
+    eval merge rides the ICI/DCN collective instead: pickled bytes are
+    length-prefixed and padded to the max size for process_allgather."""
+    if jax.process_count() == 1:
+        return [obj]
+    from jax.experimental import multihost_utils
+
+    payload = np.frombuffer(pickle.dumps(obj), np.uint8)
+    sizes = multihost_utils.process_allgather(
+        np.asarray([payload.size], np.int64))  # [W, 1]
+    buf = np.zeros((int(sizes.max()),), np.uint8)
+    buf[:payload.size] = payload
+    bufs = multihost_utils.process_allgather(buf)  # [W, max]
+    return [
+        pickle.loads(bufs[i, :int(sizes[i, 0])].tobytes())
+        for i in range(bufs.shape[0])
+    ]
+
+
 def group_split(world_size: int, group_size: int) -> List[List[int]]:
     """Contiguous subgroups of ``group_size`` ranks — the axis_index_groups
     equivalent of the reference's ``simple_group_split``

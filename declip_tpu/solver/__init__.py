@@ -180,17 +180,32 @@ class Solver:
     def setup_env(self):
         cfg_path = self.config.get("_config_path")
         base = osp.dirname(cfg_path) if cfg_path else os.getcwd()
+        # saver.save_path overrides the checkpoint location; gs:// (any
+        # fsspec URL) works — TPU pods have object storage, not the shared
+        # cluster FS the reference assumed (declip_solver.py:796-815).
+        # Events/results/logs stay next to the config (local, per-host).
+        save_root = self.config.get_path("saver.save_path")
+        if save_root:
+            ckpt_path = str(save_root)
+            ckpt_k = (ckpt_path.rstrip("/") + "_k_times" if "://" in ckpt_path
+                      else osp.join(osp.dirname(ckpt_path.rstrip("/")),
+                                    "checkpoints_k_times"))
+        else:
+            ckpt_path = osp.join(base, "checkpoints")
+            ckpt_k = osp.join(base, "checkpoints_k_times")
         self.path = Cfg(
             root_path=base,
-            ckpt_path=osp.join(base, "checkpoints"),
-            ckpt_k_times_path=osp.join(base, "checkpoints_k_times"),
+            ckpt_path=ckpt_path,
+            ckpt_k_times_path=ckpt_k,
             event_path=osp.join(base, "events"),
             result_path=osp.join(base, "results"),
         )
         if self.rank == 0:
+            from declip_tpu.checkpoint import _ensure_dir
+
             for p in (self.path.ckpt_path, self.path.event_path,
                       self.path.result_path):
-                os.makedirs(p, exist_ok=True)
+                _ensure_dir(p)
         self.logger = create_logger(osp.join(base, "log.txt"))
         self.writer = ScalarWriter(self.path.event_path, enabled=self.rank == 0)
         self.meters = MeterGroup(length=int(
@@ -931,22 +946,22 @@ class Solver:
                 all_labels.append(np.asarray([it["label"] for it in items]))
         evaluator = ImageNetEvaluator()
         if self.world > 1:
-            # merge the per-rank dumps (base_dataset.py:122-139): barrier,
-            # rank 0 reads every shard file (shared FS, as the reference
-            # assumes), then metrics are broadcast to all hosts
-            from jax.experimental import multihost_utils
+            # merge via process all-gather — NO shared filesystem needed
+            # (the reference's rank-0-reads-every-shard merge,
+            # base_dataset.py:122-139, assumed cluster NFS; pods have GCS).
+            # The per-rank results.txt.rank<i> dumps above remain as local
+            # debug artifacts.
+            from declip_tpu.parallel.comms import gather_object
 
-            from declip_tpu.data.evaluator import merge_rank_results
-            from declip_tpu.parallel.comms import broadcast_object
-
-            multihost_utils.sync_global_devices("eval_dump")
-            if self.rank == 0:
-                lines = merge_rank_results(
-                    osp.join(self.path.result_path, "results.txt"))
-                metrics = evaluator.eval_jsonl(lines)
-            else:
-                metrics = None
-            return broadcast_object(metrics)
+            shards = gather_object((
+                np.concatenate(all_scores) if all_scores
+                else np.zeros((0, n_class), np.float32),
+                np.concatenate(all_labels) if all_labels
+                else np.zeros((0,), np.int64),
+            ))
+            scores = np.concatenate([s for s, _ in shards])
+            labels = np.concatenate([l for _, l in shards])
+            return evaluator.eval_arrays(scores, labels)
         if not all_scores:
             return Metric({"top1": 0.0, "top5": 0.0, "n": 0})
         return evaluator.eval_arrays(
@@ -1004,27 +1019,20 @@ class Solver:
         txt = (np.concatenate(txt_all) if txt_all
                else np.zeros((0, 1), np.float32))
         if self.world > 1:
-            from jax.experimental import multihost_utils
-
-            from declip_tpu.parallel.comms import broadcast_object
+            # all-gather the per-rank embedding shards — no shared FS
+            # needed (see validate()); the local .npz dump stays as a
+            # debug artifact
+            from declip_tpu.parallel.comms import gather_object
 
             shard = osp.join(self.path.result_path,
                              f"retrieval.rank{self.rank}.npz")
             np.savez(shard, idx=idx, img=img, txt=txt)
-            multihost_utils.sync_global_devices("retrieval_dump")
-            if self.rank == 0:
-                import glob as _glob
-
-                parts = [np.load(p) for p in sorted(_glob.glob(
-                    osp.join(self.path.result_path, "retrieval.rank*.npz")))]
-                idx = np.concatenate([p["idx"] for p in parts])
-                order = np.argsort(idx)
-                img = np.concatenate([p["img"] for p in parts])[order]
-                txt = np.concatenate([p["txt"] for p in parts])[order]
-                metrics = evaluator.eval_arrays(img, txt)
-            else:
-                metrics = None
-            return broadcast_object(metrics)
+            parts = gather_object((idx, img, txt))
+            idx = np.concatenate([p[0] for p in parts])
+            order = np.argsort(idx)
+            img = np.concatenate([p[1] for p in parts])[order]
+            txt = np.concatenate([p[2] for p in parts])[order]
+            return evaluator.eval_arrays(img, txt)
         order = np.argsort(idx)
         return evaluator.eval_arrays(img[order], txt[order])
 

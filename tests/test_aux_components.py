@@ -91,7 +91,10 @@ def test_crash_handler(tmp_path):
 def test_comms_single_host():
     from declip_tpu.parallel.comms import broadcast_object, global_mean, group_split
 
+    from declip_tpu.parallel.comms import gather_object
+
     assert broadcast_object({"x": 1}) == {"x": 1}
+    assert gather_object({"x": 1}) == [{"x": 1}]
     assert group_split(8, 4) == [[0, 1, 2, 3], [4, 5, 6, 7]]
     np.testing.assert_allclose(global_mean([1.0, 2.0]), [1.0, 2.0])
 

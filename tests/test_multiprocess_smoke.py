@@ -48,6 +48,38 @@ WORKER = textwrap.dedent("""
         from declip_tpu.data.evaluator import merge_rank_results
         lines = merge_rank_results(os.path.join(res_dir, "results.txt"))
         assert len(lines) == 2, lines
+
+    # NFS-free merge: per-rank result objects gathered over the collective
+    # (variable payload sizes on purpose)
+    from declip_tpu.parallel.comms import gather_object
+    import numpy as np
+    shards = gather_object({"rank": rank,
+                            "scores": np.full((rank + 1, 3), float(rank))})
+    assert [s["rank"] for s in shards] == [0, 1], shards
+    assert shards[1]["scores"].shape == (2, 3)
+    assert float(shards[1]["scores"][0, 0]) == 1.0
+
+    # orbax collective save: every rank participates (solver save_freq
+    # path). Arrays must be GLOBAL (orbax refuses host-local arrays in a
+    # multi-host setting) — the solver's states are jit outputs over the
+    # global mesh, so replicate over the 2-process mesh here too.
+    from declip_tpu.checkpoint import (
+        restore_checkpoint_orbax, save_checkpoint_orbax, wait_for_orbax)
+    from declip_tpu.train import new_train_state
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    mesh = Mesh(np.asarray(jax.devices()).reshape(-1), ("data",))
+    repl = lambda t: jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), t)
+    state = repl(new_train_state(
+        params={"w": jnp.full((2, 2), 3.0)}, batch_stats={}, opt_state=(),
+        step=jnp.asarray(5)))
+    save_checkpoint_orbax(res_dir + "/orbax_ck", state)
+    wait_for_orbax()
+    template = repl(new_train_state(
+        params={"w": jnp.zeros((2, 2))}, batch_stats={}, opt_state=()))
+    back = restore_checkpoint_orbax(res_dir + "/orbax_ck", template)
+    assert int(back.step) == 5 and float(back.params["w"][0, 0]) == 3.0
     print(f"worker {rank} OK")
 """)
 
