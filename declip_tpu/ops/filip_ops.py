@@ -6,9 +6,14 @@ max over the other side's tokens, mean over own tokens
 
 Memory: the naive form materializes [B, GB, N1, N2]; with B=128, GB=4096,
 16x16 selected tokens that is >500MB fp32 (SURVEY.md §5.7's hazard). The XLA
-implementation chunks the gathered dimension with ``lax.map`` so peak memory
-is [B, C, N1, N2] per chunk; a fused Pallas kernel is the planned follow-up
-(same contract).
+implementation chunks the gathered dimension with ``lax.map`` and
+rematerializes the per-chunk similarity in the backward (without
+``jax.checkpoint`` the scan STACKS every chunk's [B, C, N1, N2] residual —
+the full hazard tensor again; measured OOM at B=128, GB=4096 on v5e).
+
+The default on TPU is the fused Pallas kernel (ops/filip_pallas.py), which
+keeps the similarity tile in VMEM end to end — measured A/B in
+tools/bench_li.py / README. ``DECLIP_FILIP_LI_IMPL={pallas,xla}`` overrides.
 """
 
 from __future__ import annotations
@@ -34,6 +39,7 @@ def late_interaction_logits(
     nchunks = -(-gb // c)
     pad = nchunks * c - gb
 
+    @jax.checkpoint
     def per_chunk(d2_chunk):
         sim = jnp.einsum(
             "bnd,lmd->blnm", dense_1, d2_chunk,
@@ -49,3 +55,32 @@ def late_interaction_logits(
         out = lax.map(per_chunk, chunks)  # [nchunks, B, C]
         out = out.transpose(1, 0, 2).reshape(b, nchunks * c)[:, :gb]
     return scale.astype(jnp.float32) * out
+
+
+def dispatch_late_interaction(cfg=None):
+    """Config/env-selected late-interaction implementation.
+
+    Order: ``cfg.filip_dense.impl`` > ``$DECLIP_FILIP_LI_IMPL`` > default
+    (fused Pallas on TPU — measured 1.17-1.47x over the remat'd chunked XLA
+    path fwd+bwd at production shapes on v5e, tools/bench_li.py; the
+    UN-remat'd XLA path OOMs outright in backward — XLA elsewhere).
+    The Pallas kernel unrolls one MXU matmul per key token, so wide
+    unselected key sets (N2 > 32, e.g. select_topk off) fall back to XLA."""
+    import os
+
+    impl = None
+    if cfg:
+        impl = (cfg.get("filip_dense") or {}).get("impl")
+    impl = impl or os.environ.get("DECLIP_FILIP_LI_IMPL")
+    if impl is None:
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        from declip_tpu.ops.filip_pallas import late_interaction_logits_pallas
+
+        def fn(d1, d2, scale):
+            if d2.shape[1] > 32:
+                return late_interaction_logits(d1, d2, scale)
+            return late_interaction_logits_pallas(d1, d2, scale)
+
+        return fn
+    return late_interaction_logits

@@ -29,7 +29,7 @@ from declip_tpu.ops.contrastive import (
     similarity_logits,
     topk_accuracy,
 )
-from declip_tpu.ops.filip_ops import late_interaction_logits
+from declip_tpu.ops.filip_ops import dispatch_late_interaction
 
 Metrics = Dict[str, jax.Array]
 
@@ -209,12 +209,13 @@ def filip_losses(out, cfg, axis_name, pair_loss=None
     if "dense_image" in out:
         # query side uses ALL own tokens; the gathered side is the top-k
         # selection (filip.py:92-105 gathers selected_feat only)
+        late_interaction = dispatch_late_interaction(cfg)
         di, dt = out["dense_image"], out["dense_text"]
         ds = out["logit_scale_dense"]
         g_di = gather_features(out["dense_image_sel"], axis_name)
         g_dt = gather_features(out["dense_text_sel"], axis_name)
-        logits_di = late_interaction_logits(di, g_dt, ds)
-        logits_dt = late_interaction_logits(dt, g_di, ds)
+        logits_di = late_interaction(di, g_dt, ds)
+        logits_dt = late_interaction(dt, g_di, ds)
         dense_loss = clip_infonce(logits_di, logits_dt, labels)
 
     mlm = (
@@ -250,12 +251,13 @@ def defilip_losses(out, cfg, axis_name, *, nn_text=None, nn_text_aug=None,
     filip_loss = jnp.zeros(())
     if "dense_image_1" in out:
         # full-token query x gathered top-k-selected key (filip.py:92-105)
+        late_interaction = dispatch_late_interaction(cfg)
         ds = out["logit_scale_dense"]
         d_i1, d_t = out["dense_image_1"], out["dense_text"]
         g_dt = gather_features(out["dense_text_sel"], axis_name)
         g_di1 = gather_features(out["dense_image_1_sel"], axis_name)
-        l_i = late_interaction_logits(d_i1, g_dt, ds)
-        l_t = late_interaction_logits(d_t, g_di1, ds)
+        l_i = late_interaction(d_i1, g_dt, ds)
+        l_t = late_interaction(d_t, g_di1, ds)
         filip_loss = clip_infonce(l_i, l_t, labels)
         if "dense_image_2" in out:  # dense_aug 4-way (defilip.py:400-403)
             d_i2, d_ta = out["dense_image_2"], out["dense_text_aug"]
@@ -263,18 +265,18 @@ def defilip_losses(out, cfg, axis_name, *, nn_text=None, nn_text_aug=None,
             g_di2 = gather_features(out["dense_image_2_sel"], axis_name)
             aug_terms = [
                 clip_infonce(
-                    late_interaction_logits(d_i2, g_dt, ds),
-                    late_interaction_logits(d_t, g_di2, ds),
+                    late_interaction(d_i2, g_dt, ds),
+                    late_interaction(d_t, g_di2, ds),
                     labels,
                 ),
                 clip_infonce(
-                    late_interaction_logits(d_i1, g_dta, ds),
-                    late_interaction_logits(d_ta, g_di1, ds),
+                    late_interaction(d_i1, g_dta, ds),
+                    late_interaction(d_ta, g_di1, ds),
                     labels,
                 ),
                 clip_infonce(
-                    late_interaction_logits(d_i2, g_dta, ds),
-                    late_interaction_logits(d_ta, g_di2, ds),
+                    late_interaction(d_i2, g_dta, ds),
+                    late_interaction(d_ta, g_di2, ds),
                     labels,
                 ),
             ]
