@@ -59,7 +59,8 @@ def build(model_name: str, per_chip_batch: int, remat: bool,
           loss_impl: str = "full", remat_policy: str = "policy",
           mlm_max_positions: int = 24, scan_unroll: int = -1,
           attn_impl: str = "xla", fuse_views: bool = False,
-          grad_cache: int = 0, bn_groups: int = 0):
+          grad_cache: int = 0, bn_groups: int = 0,
+          bn_bf16_stats: bool = False):
     from declip_tpu.config import parse_config
     from declip_tpu.models import model_entry
     from declip_tpu.models.memory_bank import init_bank
@@ -104,6 +105,10 @@ def build(model_name: str, per_chip_batch: int, remat: bool,
             # batch into bn_groups contiguous stats groups (each group plays
             # one pod rank's local batch) to price the grouped-BN math
             image_encode["bn_stats_groups"] = bn_groups
+        if bn_bf16_stats and not vit:
+            import jax.numpy as _jnp
+
+            image_encode["bn_stats_dtype"] = _jnp.bfloat16
         if vit:
             image_encode.update({"input_resolution": 224, "checkpoint": remat,
                                  "remat_policy": remat_policy,
@@ -300,11 +305,12 @@ def run(model_name: str, per_chip_batch: int, remat: bool = False,
         loss_impl: str = "full", remat_policy: str = "policy",
         mlm_max_positions: int = 24, scan_unroll: int = -1,
         attn_impl: str = "xla", fuse_views: bool = False,
-        grad_cache: int = 0, bn_groups: int = 0):
+        grad_cache: int = 0, bn_groups: int = 0,
+        bn_bf16_stats: bool = False):
     step, state, batch, b, n_chips = build(
         model_name, per_chip_batch, remat, loss_impl, remat_policy,
         mlm_max_positions, scan_unroll, attn_impl, fuse_views, grad_cache,
-        bn_groups)
+        bn_groups, bn_bf16_stats)
     flops = _step_flops(step, state, batch)
     for _ in range(WARMUP_STEPS):
         state, metrics = step(state, batch)
@@ -650,6 +656,10 @@ def main():
                          "dynamic-int8 (ops/quant.py)")
     ap.add_argument("--attn-impl", default="xla", choices=["xla", "pallas"],
                     help="attention kernel (pallas = fused flash kernel)")
+    ap.add_argument("--bn-bf16-stats", action="store_true",
+                    help="declip_res50: BN moments + normalize math in "
+                         "bfloat16 (fp32 running stats) — numerics "
+                         "experiment, see README")
     ap.add_argument("--bn-groups", type=int, default=0,
                     help="declip_res50: split the batch into N contiguous "
                          "BN-stats groups (use_sync_bn:False / bn_group_size "
@@ -714,13 +724,16 @@ def main():
     suffix = f", loss_impl={args.loss_impl}" if args.loss_impl != "full" else ""
     if args.bn_groups > 1:
         suffix += f", bn_groups={args.bn_groups}"
+    if args.bn_bf16_stats:
+        suffix += ", bn_stats=bf16"
     if args.model:
         batch = args.batch or DEFAULT_BATCH[args.model]
         pairs, perf = run(args.model, batch, args.remat, args.loss_impl,
                           args.remat_policy
                           or DEFAULT_REMAT_POLICY[args.model],
                           mlm_positions, args.scan_unroll, args.attn_impl,
-                          args.fuse_views, args.grad_cache, args.bn_groups)
+                          args.fuse_views, args.grad_cache, args.bn_groups,
+                          args.bn_bf16_stats)
         print(json.dumps(_line(args.model, pairs, suffix, perf)))
         return
 

@@ -228,13 +228,18 @@ class DEFILIP(nn.Module):
             out["dense_image_1_sel"], out["dense_text_sel"] = s_img_1, s_txt
             if self.dense_aug:
                 out["dense_image_2"], out["dense_text_aug"] = d_img_2, d_txt_aug
+                # the reference selects tokens FRESH per pairing — each of
+                # the 4 get_weighted_dense_logits calls (defilip.py:336-339)
+                # ranks tokens by cross-attention mass against THAT
+                # pairing's other side, so (i2, t)'s text selection differs
+                # from (i1, t)'s. Emit the three aug pairings' selections.
                 if self.select_topk:
-                    s_img_2, s_txt_aug = topk_token_select(
-                        d_img_2, d_txt_aug, self.top_k)
+                    sel = lambda a, b: topk_token_select(a, b, self.top_k)  # noqa: E731
                 else:
-                    s_img_2, s_txt_aug = d_img_2, d_txt_aug
-                out["dense_image_2_sel"] = s_img_2
-                out["dense_text_aug_sel"] = s_txt_aug
+                    sel = lambda a, b: (a, b)  # noqa: E731
+                out["dense_sel_i2_t"] = sel(d_img_2, d_txt)
+                out["dense_sel_i1_ta"] = sel(d_img_1, d_txt_aug)
+                out["dense_sel_i2_ta"] = sel(d_img_2, d_txt_aug)
             out["logit_scale_dense"] = jnp.exp(self.logit_scale_dense)
         return out
 

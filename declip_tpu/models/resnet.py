@@ -60,26 +60,30 @@ class BatchNorm(nn.Module):
     axis_name: Optional[str] = None
     axis_index_groups: Optional[Sequence[Sequence[int]]] = None
     stats_groups: int = 1
+    # fp32 is the default (and the reference's numerics); bfloat16 is an
+    # opt-in experiment knob (bench.py --bn-bf16-stats) — moments and the
+    # normalize math run in bf16, running stats stay fp32
+    stats_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
+        sd = self.stats_dtype
         if train and self.stats_groups > 1 and self.axis_name is None:
-            return self._grouped_batch(
-                x.astype(jnp.float32)).astype(self.dtype)
+            return self._grouped_batch(x.astype(sd)).astype(self.dtype)
         if (self.axis_name is not None and self.axis_index_groups is not None
                 and train):
-            return self._grouped(x.astype(jnp.float32)).astype(self.dtype)
+            return self._grouped(x.astype(sd)).astype(self.dtype)
         y = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
-            dtype=jnp.float32,
+            dtype=sd,
             param_dtype=jnp.float32,
             scale_init=(
                 nn.initializers.zeros if self.zero_scale else nn.initializers.ones
             ),
             axis_name=self.axis_name,
-        )(x.astype(jnp.float32))
+        )(x.astype(sd))
         return y.astype(self.dtype)
 
     def _grouped_batch(self, x: jax.Array) -> jax.Array:
@@ -193,13 +197,15 @@ class Bottleneck(nn.Module):
     bn_axis_name: Optional[str] = None
     expansion: int = 4
     bn_stats_groups: int = 1
+    bn_stats_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool) -> jax.Array:
         inplanes = x.shape[-1]
         out_planes = self.planes * self.expansion
         bn = partial(BatchNorm, self.dtype, axis_name=self.bn_axis_name,
-                     stats_groups=self.bn_stats_groups)
+                     stats_groups=self.bn_stats_groups,
+                     stats_dtype=self.bn_stats_dtype)
 
         out = _conv(self.planes, 1, "conv1", self.dtype)(x)
         out = nn.relu(bn(name="bn1")(out, train=train))
@@ -287,6 +293,7 @@ class ModifiedResNet(nn.Module):
     bn_sync_stats: bool = False
     use_sync_bn: bool = True
     bn_stats_groups: int = 1
+    bn_stats_dtype: Dtype = jnp.float32
     # modified_resnet_modified.py variant: attnpool emits the raw width*32
     # feature and a separate fc projects to embed_dim (fc_embed=True)
     fc_embed: bool = False
@@ -304,7 +311,8 @@ class ModifiedResNet(nn.Module):
         x = x.astype(self.dtype)
         w = self.width
         bn = partial(BatchNorm, self.dtype, axis_name=self.bn_axis_name,
-                     stats_groups=self.bn_stats_groups)
+                     stats_groups=self.bn_stats_groups,
+                     stats_dtype=self.bn_stats_dtype)
 
         # 3-layer stem (modified_resnet.py:149-157); stride-2 first conv
         x = nn.Conv(w // 2, (3, 3), strides=2, padding=1, use_bias=False,
@@ -326,6 +334,7 @@ class ModifiedResNet(nn.Module):
                     dtype=self.dtype,
                     bn_axis_name=self.bn_axis_name,
                     bn_stats_groups=self.bn_stats_groups,
+                    bn_stats_dtype=self.bn_stats_dtype,
                     name=f"layer{stage + 1}_{i}",
                 )(x, train=train)
 

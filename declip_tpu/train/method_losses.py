@@ -259,27 +259,25 @@ def defilip_losses(out, cfg, axis_name, *, nn_text=None, nn_text_aug=None,
         l_i = late_interaction(d_i1, g_dt, ds)
         l_t = late_interaction(d_t, g_di1, ds)
         filip_loss = clip_infonce(l_i, l_t, labels)
-        if "dense_image_2" in out:  # dense_aug 4-way (defilip.py:400-403)
+        if "dense_image_2" in out:  # dense_aug 4-way (defilip.py:336-339)
+            # each pairing gathers ITS OWN per-pairing token selections
+            # (the reference re-runs select_topk inside every
+            # get_weighted_dense_logits call)
             d_i2, d_ta = out["dense_image_2"], out["dense_text_aug"]
-            g_dta = gather_features(out["dense_text_aug_sel"], axis_name)
-            g_di2 = gather_features(out["dense_image_2_sel"], axis_name)
-            aug_terms = [
-                clip_infonce(
-                    late_interaction(d_i2, g_dt, ds),
-                    late_interaction(d_t, g_di2, ds),
+            aug_terms = []
+            for (dq_i, dq_t), key in (
+                ((d_i2, d_t), "dense_sel_i2_t"),
+                ((d_i1, d_ta), "dense_sel_i1_ta"),
+                ((d_i2, d_ta), "dense_sel_i2_ta"),
+            ):
+                s_img, s_txt = out[key]
+                aug_terms.append(clip_infonce(
+                    late_interaction(
+                        dq_i, gather_features(s_txt, axis_name), ds),
+                    late_interaction(
+                        dq_t, gather_features(s_img, axis_name), ds),
                     labels,
-                ),
-                clip_infonce(
-                    late_interaction(d_i1, g_dta, ds),
-                    late_interaction(d_ta, g_di1, ds),
-                    labels,
-                ),
-                clip_infonce(
-                    late_interaction(d_i2, g_dta, ds),
-                    late_interaction(d_ta, g_di2, ds),
-                    labels,
-                ),
-            ]
+                ))
             filip_loss = (filip_loss + sum(aug_terms)) / 4
 
     # reference adds the filip term only in the weight-type-None branch

@@ -146,6 +146,23 @@ def test_grouped_bn_sharded_matches_single_device(rng):
         stats_ref["batch_stats"], stats_sh["batch_stats"])
 
 
+def test_bn_stats_dtype_bf16_close(rng):
+    """bn_stats_dtype=bfloat16 (experiment knob, bench --bn-bf16-stats):
+    same math in bf16, running stats still fp32, output close to fp32."""
+    n, h, w, c = 8, 4, 4, 6
+    x = jnp.asarray(rng.normal(size=(n, h, w, c)).astype(np.float32))
+    y32, _, stats32 = _bn_apply(BatchNorm(), x)
+    y16, _, stats16 = _bn_apply(BatchNorm(stats_dtype=jnp.bfloat16), x)
+    assert all(v.dtype == jnp.float32
+               for v in jax.tree.leaves(stats16))
+    np.testing.assert_allclose(np.asarray(y16), np.asarray(y32),
+                               rtol=0, atol=3e-2)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-2),
+        stats16, stats32)
+
+
 def test_batch_not_divisible_raises():
     with pytest.raises(ValueError, match="stats_groups"):
         _bn_apply(BatchNorm(stats_groups=3),

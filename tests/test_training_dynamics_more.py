@@ -440,7 +440,7 @@ def _patch_defilip_determinism(monkeypatch):
     monkeypatch.setattr(ref_defilip, "choice", lambda ops: ops[0])
 
 
-def _run_reference_defilip(bpe_path, images):
+def _run_reference_defilip(bpe_path, images, dense_aug=False):
     import torch
     from prototype.loss_functions import ClipInfoCELoss, SimsiamLoss
     from prototype.model.defilip import DEFILIP as RefDEFILIP
@@ -449,11 +449,12 @@ def _run_reference_defilip(bpe_path, images):
     image_encode, text_encode = _ref_towers(
         bpe_path, res=DENSE_RES, patch=DENSE_PATCH)
     # mirrors defilip_vitb32 with tiny dims (the yfcc15m recipe:
-    # return_filip + return_nn_bank + MLM, dense_aug off)
+    # return_filip + return_nn_bank + MLM; dense_aug parametrized — the
+    # 4-way dense terms re-select tokens per pairing, defilip.py:336-339)
     model = RefDEFILIP(
         image_encode, text_encode, use_allgather=True, nn_size=BANK_SIZE,
         nn_topk=1, return_nn_bank=True, text_mask_type="MLM",
-        feature_dim=EMBED, return_filip=True,
+        feature_dim=EMBED, return_filip=True, dense_aug=dense_aug,
         dense_embed_dim=DENSE_DIM, dense_mapping_image=TINY["width"],
         dense_mapping_language=64)
     model.emd = _DetEda()
@@ -490,7 +491,14 @@ def _run_reference_defilip(bpe_path, images):
         simsiam_loss = simsiam_criterion(p1, z1, p2, z2)
         ldi, ldt = od["filip"]
         filip_loss, _ = criterion(ldi, ldt)
-        assert "filip_aug" not in od  # dense_aug off in the yfcc15m recipe
+        if dense_aug:
+            # defilip_solver.py:468-480 4-way average
+            l2i, l2t, l3i, l3t, l4i, l4t = od["filip_aug"]
+            filip_loss = (filip_loss + criterion(l2i, l2t)[0]
+                          + criterion(l3i, l3t)[0]
+                          + criterion(l4i, l4t)[0]) / 4
+        else:
+            assert "filip_aug" not in od
         # defilip_solver.py:529-545 weight-type-None branch
         loss = (clip_loss * DEFILIP_W["clip_loss"]
                 + simsiam_loss * DEFILIP_W["simsiam_loss"]
@@ -504,7 +512,8 @@ def _run_reference_defilip(bpe_path, images):
             np.array(filip_losses))
 
 
-def _run_ours_defilip(bpe_path, init_state, init_bank, images):
+def _run_ours_defilip(bpe_path, init_state, init_bank, images,
+                      dense_aug=False):
     from declip_tpu.config import parse_config
     from declip_tpu.convert_pth import torch_state_to_variables
     from declip_tpu.models import model_entry
@@ -524,7 +533,7 @@ def _run_ours_defilip(bpe_path, init_state, init_bank, images):
                      "return_nn_bank": True, "feature_dim": EMBED,
                      "nn_size": BANK_SIZE, "nn_topk": 1,
                      "return_filip": True, "select_topk": True, "top_k": 16,
-                     "dense_embed_dim": DENSE_DIM, "dense_aug": False,
+                     "dense_embed_dim": DENSE_DIM, "dense_aug": dense_aug,
                      "mlm_max_positions": 0},
         },
     })
@@ -567,21 +576,25 @@ data: {train: {image_text_two_view: True}}
     return state, np.array(losses), np.array(filip_losses)
 
 
-def test_defilip_training_dynamics_match_reference(bpe_path, monkeypatch):
+@pytest.mark.parametrize("dense_aug", [False, True])
+def test_defilip_training_dynamics_match_reference(bpe_path, monkeypatch,
+                                                   dense_aug):
     """The full DeFILIP composition — DeCLIP's 2x2 CLIP terms + SimSiam +
     MLM + NN-bank, PLUS the dense late-interaction `filip` term gated by
     the weight-type-None branch (defilip_solver.py:541-543) — must track
     the reference over N_STEPS steps, including the word-features quirk
     (dense text = MASKED main pass; dense text_aug = unmasked aug pass,
-    defilip.py:290-292,330-333)."""
+    defilip.py:290-292,330-333). dense_aug=True additionally exercises the
+    4-way dense terms with FRESH per-pairing top-k selection
+    (defilip.py:336-339)."""
     _patch_link_world1(monkeypatch)
     _patch_det_mlm(monkeypatch)
     _patch_defilip_determinism(monkeypatch)
     images = _filip_images()
     init_state, init_bank, ref_model, ref_losses, ref_filip = \
-        _run_reference_defilip(bpe_path, images)
+        _run_reference_defilip(bpe_path, images, dense_aug)
     state, our_losses, our_filip = _run_ours_defilip(
-        bpe_path, init_state, init_bank, images)
+        bpe_path, init_state, init_bank, images, dense_aug)
 
     np.testing.assert_allclose(our_filip, ref_filip, rtol=5e-3, atol=5e-4)
     np.testing.assert_allclose(our_losses[:3], ref_losses[:3], rtol=5e-4)

@@ -34,8 +34,14 @@ CONFIGS = {
 
 def run_leg(name: str, flags: str, batch: int) -> dict:
     env = dict(os.environ)
-    base = env.get("XLA_FLAGS", "")
-    env["XLA_FLAGS"] = (base + " " + flags).strip()
+    # --xla_tpu_* flags are unknown to the LOCAL (CPU) XLA flag parser and
+    # abort the process if put in XLA_FLAGS; the axon remote compiler
+    # forwards proto-backed xla_* flags from the client's LIBTPU_INIT_ARGS
+    # per-compile, so that's the carrier. A per-leg compile-cache dir forces
+    # a real recompile (these flags are not part of the cache key).
+    base = env.get("LIBTPU_INIT_ARGS", "")
+    env["LIBTPU_INIT_ARGS"] = (base + " " + flags).strip()
+    env["JAX_COMPILATION_CACHE_DIR"] = f"/tmp/xla_sweep_cache_{name}"
     cmd = [sys.executable, "bench.py", "--model", "declip_res50",
            "--batch", str(batch)]
     p = subprocess.run(cmd, env=env, capture_output=True, text=True,
