@@ -630,12 +630,14 @@ class Solver:
             if val_freq and step % val_freq == 0 and step > 0:
                 self.validate(step)
             if save_freq and step % save_freq == 0:
+                keep = int(self.config.get_path("saver.keep", 10))
                 if self.config.get_path("saver.backend") == "orbax":
                     # orbax sharded/async save is a cross-process collective
                     # — every rank must participate
                     from declip_tpu.checkpoint import save_checkpoint_orbax
 
-                    save_checkpoint_orbax(self.path.ckpt_path, self.state)
+                    save_checkpoint_orbax(self.path.ckpt_path, self.state,
+                                          keep=keep)
                 elif self.rank == 0:
                     k_dir = (self.path.ckpt_k_times_path
                              if step % (save_freq * 20) == 0 else None)
@@ -644,7 +646,7 @@ class Solver:
                         save_many=save_many, k_times_dir=k_dir,
                         async_write=bool(self.config.get_path(
                             "saver.async_save", True)))
-                    gc_checkpoints(self.path.ckpt_path, keep=10)
+                    gc_checkpoints(self.path.ckpt_path, keep=keep)
 
             if preempt.is_set():
                 self.logger.info(
