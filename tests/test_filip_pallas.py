@@ -55,6 +55,28 @@ def test_pallas_li_grads_match_xla(rng):
                                    rtol=2e-4, atol=2e-5)
 
 
+def test_dispatch_selection(rng, monkeypatch):
+    """Config > env > backend-default selection; wide key sets fall back."""
+    from declip_tpu.ops import filip_ops
+
+    monkeypatch.delenv("DECLIP_FILIP_LI_IMPL", raising=False)
+    assert filip_ops.dispatch_late_interaction(
+        {"filip_dense": {"impl": "xla"}}) is filip_ops.late_interaction_logits
+    # CPU backend default: xla
+    assert filip_ops.dispatch_late_interaction(
+        {}) is filip_ops.late_interaction_logits
+    monkeypatch.setenv("DECLIP_FILIP_LI_IMPL", "pallas")
+    fn = filip_ops.dispatch_late_interaction({})
+    assert fn is not filip_ops.late_interaction_logits
+    # wide (un-selected) key sets route back to XLA inside the wrapper,
+    # and the numbers agree either way
+    d1, d2, scale = _data(rng, 4, 5, 8, 40, 32)
+    np.testing.assert_allclose(
+        np.asarray(fn(d1, d2, scale)),
+        np.asarray(filip_ops.late_interaction_logits(d1, d2, scale)),
+        rtol=1e-5, atol=1e-5)
+
+
 def test_pallas_li_bf16_close(rng):
     b, n1, gb, n2, d = 8, 25, 128, 16, 128
     d1, d2, scale = _data(rng, b, n1, gb, n2, d, dtype=jnp.bfloat16)
