@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import inspect
 import os
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import flax.linen as nn
 import jax
@@ -25,7 +25,11 @@ import numpy as np
 from declip_tpu.utils.registry import MODELS
 from declip_tpu.models.resnet import modified_resnet_R50, modified_resnet_R101
 from declip_tpu.models.text import text_transformers
-from declip_tpu.models.vit import visual_transformer_B32, visual_transformer_B16
+from declip_tpu.models.vit import (
+    visual_transformer_B32,
+    visual_transformer_B16,
+    visual_transformer_L14,
+)
 
 Dtype = Any
 
@@ -78,11 +82,20 @@ class CLIP(nn.Module):
     text: nn.Module
     use_allgather: bool = True
     dtype: Dtype = jnp.float32
+    # SigLIP-style learnable pairwise-loss bias (beyond-reference): set e.g.
+    # ``clip: {logit_bias_init: -10}`` together with ``loss_impl: {type:
+    # sigmoid|sigmoid_chunked|sigmoid_ring}``. None = no param (reference
+    # checkpoint-key parity preserved).
+    logit_bias_init: Optional[float] = None
 
     def setup(self):
         self.logit_scale = self.param(
             "logit_scale", nn.initializers.constant(LOGIT_SCALE_INIT), (1,)
         )
+        if self.logit_bias_init is not None:
+            self.logit_bias = self.param(
+                "logit_bias",
+                nn.initializers.constant(self.logit_bias_init), (1,))
 
     def scale_value(self) -> jax.Array:
         """exp(s) clamped to <=100 (clip.py:134); zero grad past the clamp."""
@@ -100,11 +113,14 @@ class CLIP(nn.Module):
             images = images[..., :3]
         image_embed = self.encode_image(images, train=train)
         text_embed = self.encode_text(batch["tokens"])
-        return {
+        out = {
             "image_embed": l2_normalize(image_embed),
             "text_embed": l2_normalize(text_embed, eps=1e-10),
             "logit_scale": self.scale_value(),
         }
+        if self.logit_bias_init is not None:
+            out["logit_bias"] = self.logit_bias[0]
+        return out
 
 
 def resolve_bn_stats_groups(bn_world: int, *, use_sync_bn: bool = True,
@@ -218,4 +234,27 @@ def clip_vitb32(**kwargs) -> CLIP:
 @MODELS.register
 def clip_vitb16(**kwargs) -> CLIP:
     visual, text, ck = build_towers(kwargs, visual_transformer_B16)
+    return CLIP(visual=visual, text=text, **ck)
+
+
+def _l14_defaults(kwargs: dict) -> dict:
+    """ViT-L/14 tower pairing (OpenAI CLIP geometry): 768-dim joint space,
+    768-wide/12-head text tower. Beyond-reference — the reference ships only
+    B-width factories (clip.py:149-165)."""
+    kwargs = dict(kwargs)
+    ie = dict(kwargs.get("image_encode") or {})
+    ie.setdefault("embed_dim", 768)
+    kwargs["image_encode"] = ie
+    te = dict(kwargs.get("text_encode") or {})
+    te.setdefault("embed_dim", 768)
+    te.setdefault("transformer_width", 768)
+    te.setdefault("transformer_heads", 12)
+    kwargs["text_encode"] = te
+    return kwargs
+
+
+@MODELS.register
+def clip_vitl14(**kwargs) -> CLIP:
+    visual, text, ck = build_towers(_l14_defaults(kwargs),
+                                    visual_transformer_L14)
     return CLIP(visual=visual, text=text, **ck)

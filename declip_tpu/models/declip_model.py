@@ -26,6 +26,7 @@ from declip_tpu.utils.registry import MODELS
 from declip_tpu.models.clip_model import (
     LOGIT_SCALE_INIT,
     LOGIT_SCALE_MAX,
+    _l14_defaults,
     build_towers,
     call_tower,
     compact_mlm,
@@ -33,7 +34,11 @@ from declip_tpu.models.clip_model import (
 )
 from declip_tpu.models.heads import PredictionMLP, ProjectionMLP
 from declip_tpu.models.resnet import modified_resnet_R50, modified_resnet_R101
-from declip_tpu.models.vit import visual_transformer_B32, visual_transformer_B16
+from declip_tpu.models.vit import (
+    visual_transformer_B32,
+    visual_transformer_B16,
+    visual_transformer_L14,
+)
 
 Dtype = Any
 
@@ -68,12 +73,18 @@ class DECLIP(nn.Module):
     # Auto-disabled for MoE towers (batch-coupled router capacity/aux loss)
     # and HF text backends.
     fuse_views: bool = False
+    # SigLIP-style learnable pairwise-loss bias (see clip_model.CLIP)
+    logit_bias_init: Any = None
     dtype: Dtype = jnp.float32
 
     def setup(self):
         self.logit_scale = self.param(
             "logit_scale", nn.initializers.constant(LOGIT_SCALE_INIT), (1,)
         )
+        if self.logit_bias_init is not None:
+            self.logit_bias = self.param(
+                "logit_bias",
+                nn.initializers.constant(self.logit_bias_init), (1,))
         self.projector = ProjectionMLP(dtype=self.dtype)
         self.predictor = PredictionMLP(dtype=self.dtype)
         if self.text_mask_type is not None:
@@ -173,6 +184,8 @@ class DECLIP(nn.Module):
         out["text_embed"] = text_embed
         out["text_embed_aug"] = text_embed_aug
         out["logit_scale"] = self.scale_value()
+        if self.logit_bias_init is not None:
+            out["logit_bias"] = self.logit_bias[0]
 
         if self.return_simsiam_text:
             z1t = self.projector(text_embed, train=train)
@@ -214,4 +227,11 @@ def declip_res101(**kwargs) -> DECLIP:
 @MODELS.register
 def declip_vitb32(**kwargs) -> DECLIP:
     visual, text, ck = build_towers(kwargs, visual_transformer_B32)
+    return DECLIP(visual=visual, text=text, **ck)
+
+
+@MODELS.register
+def declip_vitl14(**kwargs) -> DECLIP:
+    visual, text, ck = build_towers(_l14_defaults(kwargs),
+                                    visual_transformer_L14)
     return DECLIP(visual=visual, text=text, **ck)

@@ -22,6 +22,7 @@ from declip_tpu.utils.registry import MODELS
 from declip_tpu.models.clip_model import (
     LOGIT_SCALE_INIT,
     LOGIT_SCALE_MAX,
+    _l14_defaults,
     build_towers,
     call_tower,
     compact_mlm,
@@ -29,7 +30,7 @@ from declip_tpu.models.clip_model import (
 )
 from declip_tpu.models.filip_model import topk_token_select
 from declip_tpu.models.heads import PredictionMLP, ProjectionMLP
-from declip_tpu.models.vit import visual_transformer_B32
+from declip_tpu.models.vit import visual_transformer_B32, visual_transformer_L14
 
 Dtype = Any
 
@@ -61,12 +62,18 @@ class DEFILIP(nn.Module):
     # single-[2B]-call view fusion (text passes + ViT image views); see
     # declip_model.DECLIP.fuse_views for semantics and the measured default
     fuse_views: bool = False
+    # SigLIP-style learnable pairwise-loss bias (see clip_model.CLIP)
+    logit_bias_init: Any = None
     dtype: Dtype = jnp.float32
 
     def setup(self):
         self.logit_scale = self.param(
             "logit_scale", nn.initializers.constant(LOGIT_SCALE_INIT), (1,)
         )
+        if self.logit_bias_init is not None:
+            self.logit_bias = self.param(
+                "logit_bias",
+                nn.initializers.constant(self.logit_bias_init), (1,))
         self.projector = ProjectionMLP(dtype=self.dtype)
         self.predictor = PredictionMLP(dtype=self.dtype)
         if self.text_mask_type is not None:
@@ -195,6 +202,8 @@ class DEFILIP(nn.Module):
         out["text_embed"] = l2_normalize(text_embed, eps=1e-10)
         out["text_embed_aug"] = l2_normalize(text_embed_aug, eps=1e-10)
         out["logit_scale"] = self.scale_value()
+        if self.logit_bias_init is not None:
+            out["logit_bias"] = self.logit_bias[0]
 
         if self.return_simsiam_text:
             z1t = self.projector(out["text_embed"], train=train)
@@ -248,4 +257,11 @@ class DEFILIP(nn.Module):
 def defilip_vitb32(**kwargs) -> DEFILIP:
     visual, text, ck = build_towers(kwargs, visual_transformer_B32)
     ck.setdefault("dense_mapping_image", 768)
+    return DEFILIP(visual=visual, text=text, **ck)
+
+
+@MODELS.register
+def defilip_vitl14(**kwargs) -> DEFILIP:
+    visual, text, ck = build_towers(_l14_defaults(kwargs),
+                                    visual_transformer_L14)
     return DEFILIP(visual=visual, text=text, **ck)

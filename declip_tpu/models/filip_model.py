@@ -25,13 +25,14 @@ from declip_tpu.utils.registry import MODELS
 from declip_tpu.models.clip_model import (
     LOGIT_SCALE_INIT,
     LOGIT_SCALE_MAX,
+    _l14_defaults,
     build_towers,
     call_tower,
     compact_mlm,
     l2_normalize,
 )
 from declip_tpu.models.resnet import modified_resnet_R50
-from declip_tpu.models.vit import visual_transformer_B32
+from declip_tpu.models.vit import visual_transformer_B32, visual_transformer_L14
 
 Dtype = Any
 
@@ -77,12 +78,18 @@ class FILIP(nn.Module):
     sparse: bool = False
     # see declip_model.DECLIP.mlm_max_positions
     mlm_max_positions: int = 24
+    # SigLIP-style learnable pairwise-loss bias (see clip_model.CLIP)
+    logit_bias_init: Any = None
     dtype: Dtype = jnp.float32
 
     def setup(self):
         self.logit_scale = self.param(
             "logit_scale", nn.initializers.constant(LOGIT_SCALE_INIT), (1,)
         )
+        if self.logit_bias_init is not None:
+            self.logit_bias = self.param(
+                "logit_bias",
+                nn.initializers.constant(self.logit_bias_init), (1,))
         if self.return_dense:
             self.logit_scale_dense = self.param(
                 "logit_scale_dense", nn.initializers.constant(LOGIT_SCALE_INIT), ()
@@ -142,6 +149,8 @@ class FILIP(nn.Module):
         out["image_embed"] = l2_normalize(image_embed)
         out["text_embed"] = l2_normalize(text_embed, eps=1e-10)
         out["logit_scale"] = self.scale_value()
+        if self.logit_bias_init is not None:
+            out["logit_bias"] = self.logit_bias[0]
 
         if self.return_dense:
             dense_img = l2_normalize(self.image_mapping(image_dense))
@@ -175,4 +184,11 @@ def filip_res50(**kwargs) -> FILIP:
 def filip_vitb32(**kwargs) -> FILIP:
     visual, text, ck = build_towers(kwargs, visual_transformer_B32)
     ck.setdefault("dense_mapping_image", 768)
+    return FILIP(visual=visual, text=text, **ck)
+
+
+@MODELS.register
+def filip_vitl14(**kwargs) -> FILIP:
+    visual, text, ck = build_towers(_l14_defaults(kwargs),
+                                    visual_transformer_L14)
     return FILIP(visual=visual, text=text, **ck)

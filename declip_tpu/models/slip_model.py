@@ -23,13 +23,14 @@ from declip_tpu.utils.registry import MODELS
 from declip_tpu.models.clip_model import (
     LOGIT_SCALE_INIT,
     LOGIT_SCALE_MAX,
+    _l14_defaults,
     build_towers,
     call_tower,
     l2_normalize,
 )
 from declip_tpu.models.heads import ProjectionMLP
 from declip_tpu.models.resnet import ModifiedResNet, modified_resnet_R50
-from declip_tpu.models.vit import visual_transformer_B32
+from declip_tpu.models.vit import visual_transformer_B32, visual_transformer_L14
 
 Dtype = Any
 
@@ -43,12 +44,18 @@ class SLIP(nn.Module):
     sim_dim: int = 256
     forward_type: str = "split"
     return_sim: bool = True
+    # SigLIP-style learnable pairwise-loss bias (see clip_model.CLIP)
+    logit_bias_init: Any = None
     dtype: Dtype = jnp.float32
 
     def setup(self):
         self.logit_scale = self.param(
             "logit_scale", nn.initializers.constant(LOGIT_SCALE_INIT), (1,)
         )
+        if self.logit_bias_init is not None:
+            self.logit_bias = self.param(
+                "logit_bias",
+                nn.initializers.constant(self.logit_bias_init), (1,))
         if self.return_sim:
             self.predictor_sim = ProjectionMLP(
                 hidden_dim=4096, out_dim=self.sim_dim, out_bn=False, dtype=self.dtype
@@ -81,6 +88,8 @@ class SLIP(nn.Module):
             "text_embed": l2_normalize(text_embed, eps=1e-10),
             "logit_scale": self.scale_value(),
         }
+        if self.logit_bias_init is not None:
+            out["logit_bias"] = self.logit_bias[0]
         if self.return_sim:
             feat_1 = self._sim_feature(img_1, train=train)
             feat_2 = self._sim_feature(img_2, train=train)
@@ -98,4 +107,11 @@ def slip_res50(**kwargs) -> SLIP:
 @MODELS.register
 def slip_vitb32(**kwargs) -> SLIP:
     visual, text, ck = build_towers(kwargs, visual_transformer_B32)
+    return SLIP(visual=visual, text=text, **ck)
+
+
+@MODELS.register
+def slip_vitl14(**kwargs) -> SLIP:
+    visual, text, ck = build_towers(_l14_defaults(kwargs),
+                                    visual_transformer_L14)
     return SLIP(visual=visual, text=text, **ck)

@@ -155,3 +155,15 @@ def visual_transformer_B16(**kwargs) -> VisualTransformer:
     )
     defaults.update(kwargs)
     return VisualTransformer(**defaults)
+
+
+def visual_transformer_L14(**kwargs) -> VisualTransformer:
+    """ViT-L/14 (beyond-reference scale — the reference ships only B-width
+    factories, clip.py:149-165). OpenAI CLIP ViT-L/14 geometry: width 1024,
+    24 layers, 16 heads; pairs with the 768-wide text tower defaults in
+    clip_model.clip_vitl14."""
+    defaults = dict(
+        input_resolution=224, patch_size=14, width=1024, layers=24, heads=16
+    )
+    defaults.update(kwargs)
+    return VisualTransformer(**defaults)

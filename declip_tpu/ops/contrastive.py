@@ -246,6 +246,135 @@ def ring_clip_pair_loss(
     return (li + lt) / 2
 
 
+def _split_scale(scale) -> Tuple[jax.Array, jax.Array]:
+    """The pair-loss protocol passes ``scale`` either bare or as a
+    ``(scale, logit_bias)`` tuple (models emit ``logit_bias`` when built with
+    ``clip: {logit_bias_init: ...}`` — see method_losses._pair_scale).
+    Returns (scale, bias) with bias defaulting to 0."""
+    if isinstance(scale, tuple):
+        s, b = scale
+        return s, jnp.asarray(b, jnp.float32)
+    return scale, jnp.zeros((), jnp.float32)
+
+
+def sigmoid_pair_logits(
+    feat_a: jax.Array,
+    feat_b_gathered: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+) -> jax.Array:
+    return similarity_logits(feat_a, feat_b_gathered, scale) + bias
+
+
+def sigmoid_pair_loss(
+    image_embed: jax.Array,
+    text_embed: jax.Array,
+    scale: jax.Array,
+    axis_name: Optional[str] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """SigLIP pairwise sigmoid loss (Zhai et al. 2023) — beyond-reference.
+
+    ``L = -1/B * sum_ij log sigmoid(z_ij * (scale * x_i . y_j + bias))`` with
+    ``z_ij = +1`` for matched pairs, ``-1`` otherwise. Unlike InfoNCE there is
+    no softmax normalization over the global batch, so the loss decomposes
+    EXACTLY over column blocks — the chunked and ring variants below are the
+    same objective term-for-term, not a logsumexp reformulation. This is the
+    TPU-native pod-scale contrastive loss: the ring schedule in the SigLIP
+    paper is literally ``ring_sigmoid_pair_loss``. One [B, GB] matrix covers
+    every (image, text) pair once; no symmetric transpose term exists.
+    """
+    s, bias = _split_scale(scale)
+    g_txt = gather_features(text_embed, axis_name)
+    logits = sigmoid_pair_logits(image_embed, g_txt, s, bias)
+    labels = infonce_labels(image_embed.shape[0], axis_name)
+    gb = logits.shape[1]
+    z = 2.0 * jax.nn.one_hot(labels, gb, dtype=jnp.float32) - 1.0
+    loss = -jax.nn.log_sigmoid(z * logits).sum(axis=-1).mean()
+    return loss, logits, labels
+
+
+def chunked_sigmoid_pair_loss(
+    image_embed: jax.Array,
+    text_embed: jax.Array,
+    scale: jax.Array,
+    axis_name: Optional[str] = None,
+    chunk_size: int = 1024,
+) -> jax.Array:
+    """Blockwise SigLIP loss: scans column chunks of the gathered text side,
+    never materializing [B, GB]. Exact (the sigmoid loss is a plain sum over
+    pairs); the scan body is rematerialized like chunked_cross_entropy."""
+    s, bias = _split_scale(scale)
+    feat_a = image_embed
+    feat_b_gathered = gather_features(text_embed, axis_name)
+    labels = infonce_labels(feat_a.shape[0], axis_name)
+    b, d = feat_a.shape
+    gb = feat_b_gathered.shape[0]
+    c = min(chunk_size, gb)
+    nchunks = -(-gb // c)
+    pad = nchunks * c - gb
+    padded = jnp.pad(feat_b_gathered, ((0, pad), (0, 0)))
+    chunks = padded.reshape(nchunks, c, d)
+    s32 = s.astype(jnp.float32)
+
+    @jax.checkpoint
+    def body(acc, inp):
+        idx, blk = inp
+        logits = s32 * jnp.einsum(
+            "nd,md->nm", feat_a, blk, preferred_element_type=jnp.float32
+        ) + bias
+        col = idx * c + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        z = jnp.where(col == labels[:, None], 1.0, -1.0)
+        term = -jax.nn.log_sigmoid(z * logits)
+        term = jnp.where(col < gb, term, 0.0)  # mask pad columns
+        return acc + term.sum(axis=-1), None
+
+    acc, _ = lax.scan(
+        body, jnp.zeros((b,), jnp.float32), (jnp.arange(nchunks), chunks))
+    return acc.mean()
+
+
+def ring_sigmoid_pair_loss(
+    image_embed: jax.Array,
+    text_embed: jax.Array,
+    scale: jax.Array,
+    axis_name: str,
+) -> jax.Array:
+    """Gather-free ring SigLIP loss under shard_map — the SigLIP paper's
+    'chunked' device schedule: the local text block circulates via
+    ``ppermute``; each of the W steps adds one [B_local, B_local] tile's
+    pairwise terms. Because the sigmoid loss has no normalizer there is no
+    running-max/logsumexp carry — each tile's contribution is final."""
+    s, bias = _split_scale(scale)
+    w = lax.axis_size(axis_name)
+    b = image_embed.shape[0]
+    s32 = s.astype(jnp.float32)
+    perm = [(i, (i + 1) % w) for i in range(w)]
+    eye = jnp.eye(b, dtype=jnp.float32)
+
+    def body(carry, step):
+        acc, blk = carry
+        logits = s32 * jnp.einsum(
+            "nd,md->nm", image_embed, blk,
+            preferred_element_type=jnp.float32) + bias
+        # the t=0 block is our own: positives sit on its diagonal
+        z = jnp.where(step == 0, 2.0 * eye - 1.0, -jnp.ones_like(logits))
+        acc = acc + (-jax.nn.log_sigmoid(z * logits)).sum(axis=-1)
+        blk = lax.ppermute(blk, axis_name, perm)
+        return (acc, blk), None
+
+    def _varying(x):
+        if hasattr(lax, "pcast"):
+            return lax.pcast(x, axis_name, to="varying")
+        try:
+            return lax.pvary(x, axis_name)
+        except AttributeError:  # older jax
+            return x
+
+    init = (_varying(jnp.zeros((b,), jnp.float32)), text_embed)
+    (acc, _), _ = lax.scan(body, init, jnp.arange(w))
+    return acc.mean()
+
+
 def loss_impl_kind(cfg) -> str:
     """Read the configured contrastive-loss implementation: ``loss_impl:
     {type: full|chunked|ring, ...}`` (or a bare string). Default 'full'."""
@@ -266,10 +395,15 @@ def make_pair_loss(cfg, *, mesh=None, axis_name: Optional[str] = None):
     - ``ring`` — ppermute ring under shard_map, gather-free. Needs either
       ``axis_name`` (already inside shard_map) or ``mesh`` (wrapped in a
       shard_map over the 'data' axis from inside the jitted step).
+    - ``sigmoid`` / ``sigmoid_chunked`` / ``sigmoid_ring`` — the SigLIP
+      pairwise sigmoid loss (beyond-reference): no global softmax coupling,
+      so chunked/ring are the exact objective, not a reformulation. Models
+      built with ``clip: {logit_bias_init: -10}`` contribute their learnable
+      bias through the ``(scale, bias)`` tuple the method losses pack.
 
-    All three are grad-parity tested against each other
+    All variants are grad-parity tested against each other
     (tests/test_loss_impl.py, test_ring_contrastive.py,
-    test_chunked_contrastive.py)."""
+    test_chunked_contrastive.py, test_sigmoid_loss.py)."""
     node = (cfg or {}).get("loss_impl") or {}
     if isinstance(node, str):
         node = {"type": node}
@@ -278,26 +412,75 @@ def make_pair_loss(cfg, *, mesh=None, axis_name: Optional[str] = None):
     acc_k = int(node.get("acc_window", 1024))
 
     def acc_proxy(img, txt, scale):
+        s, _ = _split_scale(scale)
         k = min(img.shape[0], acc_k)
-        logits = similarity_logits(img[:k], txt[:k], scale)
+        logits = similarity_logits(img[:k], txt[:k], s)
         return logits, jnp.arange(k, dtype=jnp.int32)
 
     if kind == "full":
         def pair(img, txt, scale):
-            return clip_pair_loss(img, txt, scale, axis_name)
+            s, _ = _split_scale(scale)
+            return clip_pair_loss(img, txt, s, axis_name)
 
         return pair
     if kind == "chunked":
         def pair(img, txt, scale):
-            loss = chunked_clip_pair_loss(img, txt, scale, axis_name, chunk)
+            s, _ = _split_scale(scale)
+            loss = chunked_clip_pair_loss(img, txt, s, axis_name, chunk)
             return (loss, *acc_proxy(img, txt, scale))
+
+        return pair
+    if kind == "sigmoid":
+        def pair(img, txt, scale):
+            return sigmoid_pair_loss(img, txt, scale, axis_name)
+
+        return pair
+    if kind == "sigmoid_chunked":
+        def pair(img, txt, scale):
+            loss = chunked_sigmoid_pair_loss(img, txt, scale, axis_name, chunk)
+            return (loss, *acc_proxy(img, txt, scale))
+
+        return pair
+    if kind == "sigmoid_ring":
+        if axis_name is not None:
+            def pair(img, txt, scale):
+                loss = lax.pmean(
+                    ring_sigmoid_pair_loss(img, txt, scale, axis_name),
+                    axis_name)
+                return (loss, *acc_proxy(img, txt, scale))
+
+            return pair
+        if mesh is None:
+            raise ValueError(
+                "loss_impl 'sigmoid_ring' needs a mesh (SPMD mode) or an "
+                "axis_name (shard_map mode)")
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+
+        def ring_fn(i, t, s, b):
+            return lax.pmean(
+                ring_sigmoid_pair_loss(i, t, (s, b), axis), axis)
+
+        ring_sm = shard_map(
+            ring_fn, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(), P()), out_specs=P())
+
+        def pair(img, txt, scale):
+            s, b = _split_scale(scale)
+            return (ring_sm(img, txt, s, b), *acc_proxy(img, txt, scale))
 
         return pair
     if kind == "ring":
         if axis_name is not None:
             def pair(img, txt, scale):
+                s, _ = _split_scale(scale)
                 loss = lax.pmean(
-                    ring_clip_pair_loss(img, txt, scale, axis_name),
+                    ring_clip_pair_loss(img, txt, s, axis_name),
                     axis_name)
                 return (loss, *acc_proxy(img, txt, scale))
 
@@ -322,7 +505,8 @@ def make_pair_loss(cfg, *, mesh=None, axis_name: Optional[str] = None):
             in_specs=(P(axis), P(axis), P()), out_specs=P())
 
         def pair(img, txt, scale):
-            return (ring_sm(img, txt, scale), *acc_proxy(img, txt, scale))
+            s, _ = _split_scale(scale)
+            return (ring_sm(img, txt, s), *acc_proxy(img, txt, scale))
 
         return pair
     raise NotImplementedError(f"loss_impl type {kind!r}")

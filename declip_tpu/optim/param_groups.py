@@ -18,7 +18,9 @@ import jax
 def classify_param(path: Tuple[str, ...], leaf) -> str:
     names = [str(p) for p in path]
     leafname = names[-1]
-    if "logit_scale" in leafname:
+    if "logit_scale" in leafname or "logit_bias" in leafname:
+        # logit_bias (the SigLIP pairwise-loss bias, beyond-reference) rides
+        # the logit_scale group so existing zero-wd pconfigs cover it
         return "logit_scale"
     if any("BatchNorm" in n for n in names):
         return "bn_w" if leafname == "scale" else "bn_b"

@@ -34,19 +34,32 @@ from declip_tpu.ops.filip_ops import dispatch_late_interaction
 Metrics = Dict[str, jax.Array]
 
 
+def _pair_scale(out: Dict[str, Any]):
+    """Scale argument for the pair-loss protocol: models built with a SigLIP
+    ``logit_bias`` param (clip: {logit_bias_init: ...}) emit it in the output
+    dict; pack it as a (scale, bias) tuple for the sigmoid loss_impl kinds
+    (ops/contrastive._split_scale unpacks; softmax kinds ignore the bias)."""
+    if "logit_bias" in out:
+        return (out["logit_scale"], out["logit_bias"])
+    return out["logit_scale"]
+
+
 def clip_losses(out: Dict[str, Any], cfg: Dict, axis_name: Optional[str],
                 pair_loss=None) -> Tuple[jax.Array, Metrics]:
     """clip_solver.py:407-430: single symmetric InfoNCE.
 
-    pair_loss: config-selected implementation (full/chunked/ring —
+    pair_loss: config-selected implementation (full/chunked/ring/sigmoid* —
     make_pair_loss); built from cfg when not supplied by the train step."""
     if pair_loss is None:
         pair_loss = make_pair_loss(cfg, axis_name=axis_name)
     loss, logits_i, labels = pair_loss(
-        out["image_embed"], out["text_embed"], out["logit_scale"])
+        out["image_embed"], out["text_embed"], _pair_scale(out))
     top1, top5 = topk_accuracy(logits_i, labels)
-    return loss, {"loss": loss, "clip_loss": loss, "top1": top1, "top5": top5,
-                  "logit_scale": out["logit_scale"]}
+    metrics = {"loss": loss, "clip_loss": loss, "top1": top1, "top5": top5,
+               "logit_scale": out["logit_scale"]}
+    if "logit_bias" in out:
+        metrics["logit_bias"] = out["logit_bias"]
+    return loss, metrics
 
 
 def slip_losses(out, cfg, axis_name, pair_loss=None
@@ -71,7 +84,7 @@ def _declip_clip_terms(out, cfg, axis_name, pair_loss):
     Each term routes through the config-selected pair implementation
     (full gathered matmul, chunked logsumexp, or ring) — the gathers of the
     full path are CSE'd by XLA across the four terms."""
-    scale = out["logit_scale"]
+    scale = _pair_scale(out)
     i1, i2 = out["image_embed_1"], out["image_embed_2"]
     t, ta = out["text_embed"], out["text_embed_aug"]
 
@@ -203,7 +216,7 @@ def filip_losses(out, cfg, axis_name, pair_loss=None
     scale = out["logit_scale"]
     img, txt = out["image_embed"], out["text_embed"]
     labels = infonce_labels(img.shape[0], axis_name)
-    clip_loss, logits_i, labels_acc = pair_loss(img, txt, scale)
+    clip_loss, logits_i, labels_acc = pair_loss(img, txt, _pair_scale(out))
 
     dense_loss = jnp.zeros(())
     if "dense_image" in out:

@@ -354,3 +354,27 @@ def test_bank_query_matches_naive():
         for g, w in zip(got, want):
             np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                        rtol=1e-5, atol=1e-6)
+
+
+def test_vitl14_factories():
+    """ViT-L/14 factories (beyond-reference scale): all five methods build
+    with the OpenAI L/14 pairing — 1024-wide/24-layer/16-head image tower,
+    768-wide/12-head text tower, 768-dim joint space."""
+    from declip_tpu.models import model_entry
+
+    for t in ("clip_vitl14", "declip_vitl14", "slip_vitl14",
+              "filip_vitl14", "defilip_vitl14"):
+        m = model_entry({"type": t, "kwargs": {}})
+        assert m.visual.width == 1024 and m.visual.layers == 24
+        assert m.visual.heads == 16 and m.visual.patch_size == 14
+        assert m.visual.embed_dim == 768
+        assert m.text.transformer_width == 768
+        assert m.text.transformer_heads == 12
+        assert m.text.embed_dim == 768
+    # explicit kwargs still override the L14 defaults
+    m = model_entry({"type": "clip_vitl14", "kwargs": {
+        "image_encode": {"embed_dim": 512},
+        "text_encode": {"embed_dim": 512, "transformer_width": 256},
+    }})
+    assert m.visual.embed_dim == 512
+    assert m.text.transformer_width == 256
