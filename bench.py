@@ -11,11 +11,13 @@ model/recipe (the reference publishes no numbers, SURVEY.md §6; the CLIP
 ViT-B/32 anchor is the standard public ~1000 pairs/sec/GPU at batch 128
 fp16).
 
-Variants: ``--model clip_vitb32|clip_vitb16|declip_res50|declip_vitb32|
-slip_vitb32|filip_vitb32|defilip_vitb32`` benches one model (every model
-family the framework trains); ``--loss-impl full|chunked|ring`` selects the InfoNCE
-implementation (SURVEY.md §5.7); ``--e2e`` includes the host input pipeline;
-``--fuse-views`` A/Bs the DeCLIP tower-call fusion (README).
+Variants: ``--model clip_vitb32|clip_vitb16|clip_vitl14|declip_res50|
+declip_vitb32|slip_vitb32|filip_vitb32|defilip_vitb32`` benches one model
+(every model family the framework trains, plus the beyond-reference L/14
+scale point); ``--loss-impl full|chunked|ring|sigmoid|sigmoid_chunked|
+sigmoid_ring`` selects the contrastive implementation (SURVEY.md §5.7;
+sigmoid* = SigLIP pairwise loss); ``--e2e`` includes the host input
+pipeline; ``--fuse-views`` A/Bs the DeCLIP tower-call fusion (README).
 """
 
 import argparse
@@ -37,6 +39,10 @@ enable_compile_cache()
 A100_BASELINE = {
     "clip_vitb32": 1000.0,
     "clip_vitb16": 280.0,  # ~3.6x the B/32 FLOPs (197 vs 50 patch tokens)
+    # ViT-L/14 (beyond-reference scale): ~12x the B/32 step FLOPs (257 vs 50
+    # patch tokens at 1024w/24L vs 768w/12L, text tower 768w) — same
+    # FLOPs-scaling logic as the B/16 anchor
+    "clip_vitl14": 80.0,
     "declip_res50": 300.0,  # DeCLIP R50: 2 image views + 2 text towers + heads
     # DeCLIP ViT-B/32: ~2.4x the CLIP B/32 step (2 image views + 2 text
     # passes + MLM head + SimSiam/NN heads), same scaling logic as R50's
@@ -71,20 +77,25 @@ def build(model_name: str, per_chip_batch: int, remat: bool,
     b = per_chip_batch * n_chips
     rng = np.random.default_rng(0)
 
-    if model_name in ("clip_vitb32", "clip_vitb16"):
+    if model_name in ("clip_vitb32", "clip_vitb16", "clip_vitl14"):
+        dim = 768 if model_name == "clip_vitl14" else 512
+        clip_kw = {"use_allgather": True}
+        if loss_impl.startswith("sigmoid"):
+            # the SigLIP recipe's learnable pairwise bias (ops/contrastive)
+            clip_kw["logit_bias_init"] = -10.0
         model = model_entry({
             "type": model_name,
             "kwargs": {
-                "image_encode": {"embed_dim": 512, "input_resolution": 224,
+                "image_encode": {"embed_dim": dim, "input_resolution": 224,
                                  "checkpoint": remat,
                                  "remat_policy": remat_policy,
                                  "scan_unroll": scan_unroll,
                                  "attn_impl": attn_impl},
-                "text_encode": {"embed_dim": 512, "checkpoint": remat,
+                "text_encode": {"embed_dim": dim, "checkpoint": remat,
                                 "remat_policy": remat_policy,
                                 "scan_unroll": scan_unroll,
                                 "attn_impl": attn_impl},
-                "clip": {"use_allgather": True},
+                "clip": clip_kw,
                 "dtype": "bfloat16",
             },
         })
@@ -262,7 +273,7 @@ grad_clip: {{type: logit_scale_param_value, value: 3, max_value: 6}}
         # full-batch InfoNCE gradients at 1/chunks tower-activation memory
         cfg["grad_cache"] = {"chunks": grad_cache}
     mesh = None
-    if n_chips > 1 or loss_impl == "ring":
+    if n_chips > 1 or loss_impl in ("ring", "sigmoid_ring"):
         # shard the batch over the data axis, replicate state — without this
         # everything lands on chip 0 (and pairs/sec/chip is divided by
         # n_chips against a single chip's work). The ring impl needs the
@@ -594,14 +605,17 @@ def run_decode_bench(n_images: int = 200, src_size=(512, 384),
 
 
 LABELS = {"clip_vitb32": "CLIP ViT-B/32", "clip_vitb16": "CLIP ViT-B/16",
+          "clip_vitl14": "CLIP ViT-L/14",
           "declip_res50": "DeCLIP-R50", "declip_vitb32": "DeCLIP ViT-B/32",
           "slip_vitb32": "SLIP ViT-B/32", "filip_vitb32": "FILIP ViT-B/32",
           "defilip_vitb32": "DeFILIP ViT-B/32"}
-DEFAULT_BATCH = {"clip_vitb32": 128, "clip_vitb16": 64, "declip_res50": 128,
+DEFAULT_BATCH = {"clip_vitb32": 128, "clip_vitb16": 64, "clip_vitl14": 32,
+                 "declip_res50": 128,
                  "declip_vitb32": 128, "slip_vitb32": 128,
                  "filip_vitb32": 128, "defilip_vitb32": 128}
 # per-model measured optima (paired A/B on v5e, README)
 DEFAULT_REMAT_POLICY = {"clip_vitb32": "dots", "clip_vitb16": "dots",
+                        "clip_vitl14": "dots",
                         "declip_res50": "policy", "declip_vitb32": "dots",
                         "slip_vitb32": "dots", "filip_vitb32": "dots",
                         "defilip_vitb32": "dots"}
@@ -629,7 +643,8 @@ def main():
     ap.add_argument("--batch", type=int, default=0, help="per-chip batch")
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--loss-impl", default="full",
-                    choices=["full", "chunked", "ring"])
+                    choices=["full", "chunked", "ring", "sigmoid",
+                             "sigmoid_chunked", "sigmoid_ring"])
     # measured per-model optima (paired A/B, README): ViT towers win ~1.7%
     # saving the attention probs ('dots'); DeCLIP-R50 regresses ~1% with it
     ap.add_argument("--remat-policy", default=None,
