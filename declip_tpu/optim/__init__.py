@@ -107,6 +107,35 @@ def _single_optimizer(kind: str, kwargs: Dict, params, schedule, pconfig,
             ),
         )
 
+    if kind == "Adafactor":
+        # Beyond-reference, pod-scale: factored second moments store O(n+m)
+        # per [n, m] matrix instead of Adam's O(n·m), roughly halving
+        # optimizer-state HBM for billion-parameter towers (the SigLIP /
+        # big-vision training recipe). Composed from optax's stages rather
+        # than optax.adafactor (whose unconditional trailing scale(-1)
+        # would double-flip with scale_by_learning_rate below); decoupled
+        # wd via the same masked stages as AdamW so pconfig overrides work.
+        stages.append(optax.scale_by_factored_rms(
+            factored=kwargs.get("factored", True),
+            decay_rate=kwargs.get("decay_rate", 0.8),
+            min_dim_size_to_factor=int(
+                kwargs.get("min_dim_size_to_factor", 128)),
+            epsilon=kwargs.get("eps", 1e-30),
+        ))
+        if kwargs.get("clipping_threshold", 1.0) is not None:
+            stages.append(optax.clip_by_block_rms(
+                float(kwargs.get("clipping_threshold", 1.0))))
+        if kwargs.get("multiply_by_parameter_scale", True):
+            stages.append(optax.scale_by_param_block_rms())
+        if kwargs.get("momentum") is not None:
+            stages.append(optax.ema(
+                kwargs["momentum"], debias=False,
+                accumulator_dtype=jnp.dtype(
+                    kwargs.get("dtype_momentum", "float32"))))
+        stages += _decay_stages(params, wd, pconfig, coupled=False)
+        stages.append(optax.scale_by_learning_rate(schedule))
+        return optax.chain(*stages)
+
     rule, coupled = _scale_by(kind, kwargs)
     if coupled:
         stages += _decay_stages(params, wd, pconfig, coupled=True)

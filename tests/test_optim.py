@@ -182,3 +182,39 @@ def test_adamw_sgd_split():
     # both halves produce updates
     assert np.any(np.asarray(updates["text"]["text_projection"]["kernel"]) != 0)
     assert np.any(np.asarray(updates["visual"]["proj"]) != 0)
+
+
+def test_adafactor_factored_state_and_decay():
+    """Adafactor (beyond-reference, pod-scale): factored second moments +
+    decoupled masked weight decay + schedule-scaled updates."""
+    pconfig = {"logit_scale": {"weight_decay": 0.0}}
+    tx = optim_entry(
+        {"type": "Adafactor",
+         "kwargs": {"weight_decay": 0.5, "min_dim_size_to_factor": 2}},
+        PARAMS,
+        lambda s: 0.01,
+        pconfig=pconfig,
+    )
+    state = tx.init(PARAMS)
+    # factored state: the [3,3,3,8] conv kernel stores O(rows)+O(cols)
+    # vectors, not a dense O(n*m) second moment
+    leaves = jax.tree.leaves(state)
+    n_state = sum(int(np.prod(l.shape)) for l in leaves
+                  if hasattr(l, "shape"))
+    n_params = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(PARAMS))
+    assert n_state < n_params  # Adam's moments alone would be 2*n_params
+
+    grads = jax.tree.map(jnp.zeros_like, PARAMS)
+    updates, _ = tx.update(grads, state, PARAMS)
+    # zero grads: decoupled decay moves decayed params, not logit_scale
+    assert np.all(np.asarray(updates["logit_scale"]) == 0)
+    assert np.any(np.asarray(updates["visual"]["proj"]) != 0)
+
+    grads = jax.tree.map(jnp.ones_like, PARAMS)
+    updates, _ = tx.update(grads, state, PARAMS)
+    flat = np.concatenate([np.asarray(u).ravel()
+                           for u in jax.tree.leaves(updates)])
+    assert np.all(np.isfinite(flat)) and np.any(flat != 0)
+    # updates descend: unit grads + positive params => negative steps on
+    # the undecayed logit_scale
+    assert np.all(np.asarray(updates["logit_scale"]) <= 0)
