@@ -87,10 +87,15 @@ class CLIP(nn.Module):
     # sigmoid|sigmoid_chunked|sigmoid_ring}``. None = no param (reference
     # checkpoint-key parity preserved).
     logit_bias_init: Optional[float] = None
+    # None = reference init log(1/0.07) (clip.py:43); the SigLIP recipe sets
+    # ``clip: {logit_scale_init: 2.302585}`` (= log 10, Zhai et al. 2023 §3.1)
+    logit_scale_init: Optional[float] = None
 
     def setup(self):
         self.logit_scale = self.param(
-            "logit_scale", nn.initializers.constant(LOGIT_SCALE_INIT), (1,)
+            "logit_scale", nn.initializers.constant(
+                LOGIT_SCALE_INIT if self.logit_scale_init is None
+                else self.logit_scale_init), (1,)
         )
         if self.logit_bias_init is not None:
             self.logit_bias = self.param(

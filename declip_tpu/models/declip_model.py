@@ -75,11 +75,15 @@ class DECLIP(nn.Module):
     fuse_views: bool = False
     # SigLIP-style learnable pairwise-loss bias (see clip_model.CLIP)
     logit_bias_init: Any = None
+    # None = reference init; SigLIP recipe: log 10 (see clip_model.CLIP)
+    logit_scale_init: Any = None
     dtype: Dtype = jnp.float32
 
     def setup(self):
         self.logit_scale = self.param(
-            "logit_scale", nn.initializers.constant(LOGIT_SCALE_INIT), (1,)
+            "logit_scale", nn.initializers.constant(
+                LOGIT_SCALE_INIT if self.logit_scale_init is None
+                else self.logit_scale_init), (1,)
         )
         if self.logit_bias_init is not None:
             self.logit_bias = self.param(

@@ -179,3 +179,69 @@ def test_sigmoid_differs_from_softmax(setup):
     _, sig = _run_one_step({"type": "sigmoid"}, mesh, model, batch, variables)
     _, soft = _run_one_step({"type": "full"}, mesh, model, batch, variables)
     assert sig["loss"] != pytest.approx(soft["loss"], rel=1e-3)
+
+
+def test_siglip_recipe_config_runs(tmp_path):
+    """The bundled SigLIP recipe (experiments/clip_experiments/yfcc15m/
+    yfcc15m_vit_siglip) trains 2 steps + zero-shot eval through the
+    production Solver on the 8-device mesh: sigmoid_ring loss + Adafactor +
+    logit_scale_init=log10 / logit_bias_init=-10 all exercised together."""
+    import json
+    import os
+    import shutil
+
+    from declip_tpu.config import override
+    from declip_tpu.solver import Solver
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "experiments", "clip_experiments",
+        "yfcc15m", "yfcc15m_vit_siglip", "config.yaml")
+    shutil.copy(path, tmp_path / "config.yaml")
+    cfg = parse_config(path)
+    # hermetic-necessity overrides only (same set as
+    # test_reference_configs_run._hermetic_overrides): synthetic storage,
+    # tiny shapes/steps — the recipe's model/loss/optimizer stay untouched
+    cfg = override(cfg, "model.kwargs.image_encode",
+                   {"embed_dim": 64, "input_resolution": 64, "patch_size": 32,
+                    "width": 64, "layers": 2, "heads": 2})
+    cfg = override(cfg, "model.kwargs.text_encode",
+                   {"embed_dim": 64, "transformer_width": 64,
+                    "transformer_heads": 2, "transformer_layers": 2,
+                    "bpe_path": None})
+    cfg = override(cfg, "lr_scheduler.kwargs.max_iter", 2)
+    cfg = override(cfg, "lr_scheduler.kwargs.warmup_steps", 1)
+    cfg = override(cfg, "data.batch_size", 1)
+    cfg = override(cfg, "data.num_workers", 2)
+    cfg = override(cfg, "data.read_from", "synthetic")
+    cfg = override(cfg, "data.train.read_from", "synthetic")
+    cfg = override(cfg, "data.train.meta_file", "32")
+    cfg = override(cfg, "data.train.root_dir", "")
+    cfg = override(cfg, "data.train.fseek", False)
+    cfg = override(cfg, "data.train.batch_size", 1)
+    cfg = override(cfg, "data.train.num_workers", 2)
+    cfg = override(cfg, "data.test", [{
+        "type": "clip", "read_from": "synthetic", "meta_file": "16",
+        "batch_size": 8, "transforms": {"type": "ONECROP"},
+        "label_texts_ensemble": "prompt8",
+    }])
+    cfg = override(cfg, "saver.print_freq", 1)
+    cfg = override(cfg, "saver.val_freq", 0)
+    cfg = override(cfg, "saver.save_freq", 0)
+    cfg = override(cfg, "saver.pretrain", {"auto_resume": False, "path": None})
+    cfg["_config_path"] = str(tmp_path / "config.yaml")
+
+    solver = Solver(cfg)
+    # the recipe's inits reached the params
+    ls = float(np.asarray(solver.state.params["logit_scale"])[0])
+    lb = float(np.asarray(solver.state.params["logit_bias"])[0])
+    assert ls == pytest.approx(2.302585, abs=1e-6)
+    assert lb == pytest.approx(-10.0)
+    solver.train()
+    assert int(solver.state.step) == 2
+    scalars = (tmp_path / "events" / "scalars.jsonl").read_text().splitlines()
+    by_tag = {}
+    for line in scalars:
+        rec = json.loads(line)
+        by_tag.setdefault(rec["tag"], []).append(rec["value"])
+    assert np.isfinite(by_tag["loss"]).all()
+    assert "eval0/top1" in by_tag
