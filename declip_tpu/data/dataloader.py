@@ -185,6 +185,20 @@ def build_clip_dataset(split_cfg: Dict, *, world_size: int = 1, rank: int = 0,
         else:
             transform = build_common_augmentation(
                 tcfg.get("type", "ONECROP"))
+    if split_cfg.get("type") == "clip_wds":
+        # webdataset tar shards (data/wds.py) — `tar_files` (or meta_file)
+        # carries the shard spec; root_dir/read_from/fseek don't apply
+        from declip_tpu.data.wds import WdsClipDataset
+
+        return WdsClipDataset(
+            tar_files=split_cfg.get("tar_files", split_cfg.get("meta_file")),
+            transform=transform,
+            caption_key=split_cfg.get("caption_key", "caption"),
+            label_texts_ensemble=split_cfg.get("label_texts_ensemble",
+                                               "none"),
+            image_reader_type=image_reader.get("type", "pil"),
+            native_min_side=int(image_reader.get("min_side", 512)),
+        )
     read_from = split_cfg.get("read_from", "fs")
     common = dict(
         root_dir=split_cfg.get("root_dir", ""),

@@ -276,7 +276,9 @@ class ClipDataset:
             path = meta["filename"]  # server metas carry the joined path
         else:
             path = osp.join(self.roots[idx], meta["filename"])
-        data = self._read_bytes(path)
+        return self._decode(self._read_bytes(path))
+
+    def _decode(self, data: bytes) -> Image.Image:
         if self.image_reader_type == "native":
             # C++ libjpeg decode (native/fastload.cc) with DCT prescale to
             # ~2.3x the crop size (RandomResizedCrop scale>=0.2 keeps crops

@@ -1,0 +1,281 @@
+"""WebDataset-style tar-shard dataset with random access.
+
+Beyond-reference data format. The reference reads loose image files through
+SenseTime cluster SDKs keyed by a JSONL metafile
+(prototype/data/datasets/clip_dataset.py:66-91, base_dataset.py:44-120);
+public CLIP-scale corpora (LAION, DataComp) ship as *webdataset tar shards*
+(``shard-{0000..9999}.tar`` holding ``<key>.jpg`` + ``<key>.txt`` pairs).
+This module serves those shards natively — from local disk or ``gs://``.
+
+Design: MAP-STYLE with a per-shard member index (name -> byte offset/size,
+built once with the stdlib tarfile parser and cached as a JSON sidecar),
+NOT the usual sequential-iterator webdataset pipeline. Random access keeps
+every existing piece of the data layer working unchanged: the
+DistributedIteration samplers' exact step resume, the batch-index-keyed
+MLM/EDA replay (dataloader.py), the worker-thread loader, and the
+resample-on-error contract. An iterable pipeline would forfeit exact resume
+and need its own sharding/shuffle machinery. Reads are ranged (seek+read
+locally, fsspec ``cat_file(start, end)`` on object stores), so shards are
+never unpacked; on GCS the per-sample HTTP range-GET is the same access
+pattern as the reference's ceph/petrel reads.
+
+Config::
+
+    data: {train: {type: clip_wds, tar_files: "gs://b/shard-{0000..0127}.tar",
+                   batch_size: 128, ...}}
+
+``tar_files`` accepts a single path, a brace range (webdataset convention),
+a glob, or an explicit list. Captions come from the sample's ``.txt`` member
+or a ``.json`` member's ``caption`` key; labels from ``.cls`` (int) or the
+json's ``label``/``label_name`` — so the zero-shot prompt machinery inherited
+from ClipDataset works on labeled tar sets too.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import os.path as osp
+import random
+import re
+import tarfile
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+from declip_tpu.data.dataset import ClipDataset, contains_chinese
+from declip_tpu.utils.registry import DATASETS
+
+IMAGE_EXTS = ("jpg", "jpeg", "png", "webp", "ppm", "bmp", "pgm", "tif",
+              "tiff")
+
+_BRACE = re.compile(r"\{(\d+)\.\.(\d+)\}")
+
+
+def expand_shards(spec: Union[str, Sequence[str]]) -> List[str]:
+    """Expand a shard spec into an ordered list of tar paths.
+
+    Supports the webdataset brace convention (``s-{0000..0127}.tar`` —
+    zero-padding taken from the left endpoint), glob patterns (local via
+    glob, remote via fsspec), explicit lists, and plain single paths.
+    """
+    if isinstance(spec, (list, tuple)):
+        out: List[str] = []
+        for s in spec:
+            out.extend(expand_shards(s))
+        return out
+    spec = str(spec)
+    m = _BRACE.search(spec)
+    if m:
+        lo, hi = m.group(1), m.group(2)
+        width = len(lo)
+        expanded = [
+            spec[: m.start()] + str(i).zfill(width) + spec[m.end():]
+            for i in range(int(lo), int(hi) + 1)
+        ]
+        return [p for e in expanded for p in expand_shards(e)]
+    if any(c in spec for c in "*?["):
+        if "://" in spec:
+            import fsspec
+
+            fs, _ = fsspec.core.url_to_fs(spec)
+            proto = spec.split("://", 1)[0]
+            return sorted(
+                f"{proto}://{str(p).lstrip('/')}" if "://" not in str(p)
+                else str(p)
+                for p in fs.glob(spec)
+            )
+        import glob as _glob
+
+        return sorted(_glob.glob(spec))
+    return [spec]
+
+
+def _index_cache_path(tar_path: str, size: int) -> str:
+    """Sidecar location for a shard's member index. Local shards keep it next
+    to the tar (falls back to the cache dir on read-only mounts); remote
+    shards always use the cache dir, content-addressed by path."""
+    if "://" not in tar_path:
+        side = tar_path + ".idx.json"
+        if os.access(osp.dirname(osp.abspath(tar_path)) or ".", os.W_OK):
+            return side
+    import hashlib
+
+    cache_dir = os.environ.get(
+        "DECLIP_META_CACHE", osp.expanduser("~/.cache/declip_meta"))
+    os.makedirs(cache_dir, exist_ok=True)
+    h = hashlib.sha1(f"{tar_path}:{size}".encode()).hexdigest()
+    return osp.join(cache_dir, h + ".taridx.json")
+
+
+def _open_shard(tar_path: str):
+    if "://" in tar_path:
+        import fsspec
+
+        return fsspec.open(tar_path, "rb").open()
+    return open(tar_path, "rb")
+
+
+def _shard_stat(tar_path: str) -> Tuple[int, str]:
+    """(size, mtime-ish) — both validate the index sidecar. Size alone is
+    not enough: tarfile pads archives to a 10240-byte record, so appending
+    a small member can leave the file size unchanged."""
+    if "://" in tar_path:
+        import fsspec
+
+        fs, inner = fsspec.core.url_to_fs(tar_path)
+        info = fs.info(inner)
+        return int(info["size"]), str(info.get("mtime", ""))
+    st = os.stat(tar_path)
+    return st.st_size, str(st.st_mtime_ns)
+
+
+def build_tar_index(tar_path: str) -> List[Tuple[str, int, int]]:
+    """``[(member_name, data_offset, size)]`` for every regular file in the
+    shard, in archive order. Cached as a JSON sidecar validated by tar size
+    (shards are immutable-once-written in practice; a rewrite changes size).
+    The stdlib tarfile parser handles ustar/GNU/PAX headers and longnames."""
+    size, mtime = _shard_stat(tar_path)
+    cache = _index_cache_path(tar_path, size)
+    if osp.exists(cache):
+        try:
+            with open(cache) as f:
+                d = json.load(f)
+            if (d.get("size") == size and d.get("mtime") == mtime
+                    and d.get("v") == 1):
+                return [tuple(m) for m in d["members"]]
+        except Exception:
+            pass  # corrupt sidecar — rebuild
+    members: List[Tuple[str, int, int]] = []
+    with _open_shard(tar_path) as f:
+        # ignore_zeros tolerates the zero-padded blocks some shard writers
+        # emit between appends
+        with tarfile.open(fileobj=f, mode="r:", ignore_zeros=True) as tf:
+            for ti in tf:
+                if ti.isreg():
+                    members.append((ti.name, ti.offset_data, ti.size))
+    tmp = f"{cache}.tmp.{os.getpid()}"
+    try:
+        with open(tmp, "w") as f:
+            json.dump({"v": 1, "size": size, "mtime": mtime,
+                       "members": members}, f)
+        os.replace(tmp, cache)  # atomic: concurrent workers race safely
+    except OSError:
+        pass  # unwritable cache dir — index still returned
+    return members
+
+
+def _sample_key(name: str) -> Tuple[str, str]:
+    """webdataset split: key = path up to the FIRST dot of the basename,
+    extension = the rest (so ``a/b.seg.png`` -> (``a/b``, ``seg.png``))."""
+    d, base = osp.split(name)
+    stem, _, ext = base.partition(".")
+    return (osp.join(d, stem) if d else stem), ext.lower()
+
+
+class WdsClipDataset(ClipDataset):
+    """Tar-shard image-text dataset served through the ClipDataset item
+    interface (resample-on-error, prompt ensembles, native decode)."""
+
+    def __init__(
+        self,
+        tar_files: Union[str, Sequence[str]],
+        transform=None,
+        caption_key: str = "caption",
+        image_exts: Sequence[str] = IMAGE_EXTS,
+        label_texts_ensemble: str = "none",
+        evaluator=None,
+        image_reader_type: str = "pil",
+        native_min_side: int = 512,
+        seed: int = 0,
+        **_,
+    ):
+        self.read_from = "wds"
+        self.fseek = False
+        self.transform = transform
+        self.label_texts_ensemble = label_texts_ensemble
+        self.evaluator = evaluator
+        self.image_reader_type = image_reader_type
+        self.native_min_side = native_min_side
+        self.server_cfg = None
+        self._fake_bytes = None
+        self._rng = random.Random(seed)
+        self.roots: List[str] = []
+        self.metas: List[Dict] = []
+        self._offsets: List[Tuple[str, int]] = []
+        self.caption_key = caption_key
+
+        self.shards = expand_shards(tar_files)
+        if not self.shards:
+            raise ValueError(f"no shards match {tar_files!r}")
+        image_exts = tuple(e.lower() for e in image_exts)
+        # samples: (shard_idx, key, img (off, size), txt, json, cls) with
+        # member tuples or None — ordered by (shard, archive offset) so the
+        # index stream is deterministic across hosts
+        self.samples: List[Tuple[int, str, Tuple[int, int],
+                                 Optional[Tuple[int, int]],
+                                 Optional[Tuple[int, int]],
+                                 Optional[Tuple[int, int]]]] = []
+        for si, shard in enumerate(self.shards):
+            groups: Dict[str, Dict[str, Tuple[int, int]]] = {}
+            order: List[str] = []
+            for name, off, size in build_tar_index(shard):
+                key, ext = _sample_key(name)
+                g = groups.setdefault(key, {})
+                if not g:
+                    order.append(key)
+                g[ext] = (off, size)
+            for key in order:
+                g = groups[key]
+                img = next((g[e] for e in image_exts if e in g), None)
+                if img is None:
+                    continue  # non-image sample (metadata-only key)
+                self.samples.append(
+                    (si, key, img, g.get("txt"), g.get("json"),
+                     g.get("cls")))
+        self.num = len(self.samples)
+
+    # ---- ranged member reads ------------------------------------------
+    def _read_member(self, shard_idx: int, member: Tuple[int, int]) -> bytes:
+        off, size = member
+        path = self.shards[shard_idx]
+        if "://" in path:
+            import fsspec
+
+            fs, inner = fsspec.core.url_to_fs(path)
+            return fs.cat_file(inner, start=off, end=off + size)
+        with open(path, "rb") as f:
+            f.seek(off)
+            return f.read(size)
+
+    # ---- ClipDataset item protocol overrides ---------------------------
+    def _meta(self, idx: int) -> Dict:
+        si, key, _img, txt, js, cls = self.samples[idx]
+        meta: Dict[str, Any] = {
+            "filename": f"{self.shards[si]}/{key}",
+            "caption": "",
+            "tag": "",
+        }
+        if js is not None:
+            d = json.loads(self._read_member(si, js))
+            meta["caption"] = d.get(self.caption_key, "") or ""
+            if "label" in d:
+                meta["label"] = int(d["label"])
+            if "label_name" in d:
+                meta["label_name"] = d["label_name"]
+            if "tag" in d:
+                meta["tag"] = d["tag"]
+        if txt is not None:
+            meta["caption"] = (
+                self._read_member(si, txt).decode("utf-8", "replace").strip())
+        if cls is not None:
+            meta["label"] = int(self._read_member(si, cls).decode().strip())
+        return meta
+
+    def _load_image(self, idx: int, meta: Dict):
+        si, _key, img, _txt, _js, _cls = self.samples[idx]
+        return self._decode(self._read_member(si, img))
+
+
+@DATASETS.register(name="clip_wds")
+def build_wds_dataset(**kwargs) -> WdsClipDataset:
+    return WdsClipDataset(**kwargs)
