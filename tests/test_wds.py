@@ -218,3 +218,32 @@ def test_gs_shards(shards, fake_gs, tmp_path, monkeypatch):
     # glob over the fake bucket also resolves
     ds2 = WdsClipDataset("gs://bkt/wds/shard-*.tar", transform=None)
     assert len(ds2) == 4
+
+
+def test_solver_trains_from_wds(shards, tmp_path):
+    """Full Solver integration: `data.train.type: clip_wds` trains end-to-end
+    (loader build, sampler, train steps, scalars) straight from tar shards."""
+    import shutil
+
+    from declip_tpu.config import override, parse_config
+    from declip_tpu.solver import Solver
+
+    src = os.path.join(os.path.dirname(__file__), "..", "experiments",
+                       "unit", "tiny_clip", "config.yaml")
+    shutil.copy(src, tmp_path / "config.yaml")
+    cfg = parse_config(str(tmp_path / "config.yaml"))
+    cfg = override(cfg, "lr_scheduler.kwargs.max_iter", 2)
+    cfg = override(cfg, "saver.val_freq", 0)
+    cfg["data"]["train"] = {
+        "type": "clip_wds",
+        "tar_files": shards,
+        "batch_size": 4,
+        "num_workers": 2,
+        "transforms": {"type": "ONECROP"},
+        "sampler": {"type": "distributed_iteration"},
+    }
+    cfg["_config_path"] = str(tmp_path / "config.yaml")
+    solver = Solver(cfg)
+    solver.train()
+    scalars = (tmp_path / "events" / "scalars.jsonl").read_text().splitlines()
+    assert any('"loss"' in ln for ln in scalars)
