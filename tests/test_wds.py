@@ -247,3 +247,39 @@ def test_solver_trains_from_wds(shards, tmp_path):
     solver.train()
     scalars = (tmp_path / "events" / "scalars.jsonl").read_text().splitlines()
     assert any('"loss"' in ln for ln in scalars)
+
+
+def test_make_wds_roundtrip(tmp_path):
+    """tools/make_wds packs a reference-layout JSONL metafile + image tree
+    into shards that WdsClipDataset round-trips exactly."""
+    from declip_tpu.tools.make_wds import pack
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    metas = []
+    for i in range(5):
+        name = f"img_{i}.jpg"
+        with open(img_dir / name, "wb") as f:
+            f.write(_jpeg_bytes((i * 40, 0, 0)))
+        m = {"filename": name, "caption": f"caption number {i}"}
+        if i == 2:
+            m.update({"label": 9, "label_name": "nine", "tag": "t"})
+        metas.append(m)
+    metas.append({"filename": "missing.jpg", "caption": "gone"})
+    meta = tmp_path / "train.jsonl"
+    meta.write_text("\n".join(json.dumps(m) for m in metas))
+
+    out = str(tmp_path / "shard-%05d.tar")
+    n, shards, skipped = pack(str(meta), str(img_dir), out,
+                              samples_per_shard=2)
+    assert (n, shards, skipped) == (5, 3, 1)
+
+    ds = WdsClipDataset(str(tmp_path / "shard-*.tar"), transform=None)
+    assert len(ds) == 5
+    caps = [ds[i]["caption"] for i in range(5)]
+    assert caps == [f"caption number {i}" for i in range(5)]
+    assert ds[2]["label"] == 9 and ds[2]["label_name"] == "nine"
+    assert ds[2]["tag"] == "t"
+    # image bytes copied verbatim: decoded pixels match the source file
+    src = np.asarray(Image.open(img_dir / "img_3.jpg"))
+    np.testing.assert_array_equal(np.asarray(ds[3]["image"]), src)
