@@ -60,7 +60,7 @@ class MultiHeadAttention(nn.Module):
 
     num_heads: int
     dtype: Dtype = jnp.float32
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
     qkv_std: Optional[float] = None
     out_std: Optional[float] = None
 
@@ -242,7 +242,7 @@ class ResidualAttentionBlock(nn.Module):
     total_layers: int
     dtype: Dtype = jnp.float32
     causal: bool = False
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
     # MoE knobs (0 = dense reference MLP; see MoeMlpBlock)
     moe_experts: int = 0
     moe_top_k: int = 2
@@ -296,7 +296,7 @@ class Transformer(nn.Module):
     causal: bool = False
     remat: bool = False
     dtype: Dtype = jnp.float32
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
     # backward memory/recompute trade-off knob (measured on v5e, README):
     #   'policy' (default) — save MXU outputs w/o batch dims, recompute
     #       elementwise + attention probs (3.2x less backward memory);

@@ -44,7 +44,7 @@ class TextTransformer(nn.Module):
     scan_unroll: int = -1  # depth unroll: -1 auto / 0 full / n (layers.py)
     eot_id: Optional[int] = None  # default: vocab_size - 1 (<|endoftext|>)
     dtype: Dtype = jnp.float32
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
     # MoE tower (beyond-reference; models/layers.py MoeMlpBlock). Config
     # form: text_encode: {moe: {num_experts: E, ...}}.
     moe_experts: int = 0

@@ -39,7 +39,7 @@ class VisualTransformer(nn.Module):
     scan_unroll: int = -1  # depth unroll: -1 auto / 0 full / n (layers.py)
     freeze_conv1: bool = True
     dtype: Dtype = jnp.float32
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
     # MoE tower (beyond-reference; models/layers.py MoeMlpBlock). Config
     # form: image_encode: {moe: {num_experts: E, ...}} — expanded by the
     # factories below.

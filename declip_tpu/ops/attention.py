@@ -53,6 +53,14 @@ def _xla_attention(q, k, v, causal: bool, scale: float):
         jnp.einsum("bhqk,bhkd->bhqd", probs, v), DATA, MODEL, None, None)
 
 
+# Measured crossover on v5e (fwd+bwd, bf16, batched A/B in bench.py):
+# XLA's fused-softmax attention wins at L<=197 (ViT-B/16 patches, 77 text
+# tokens); the Pallas kernel wins at L=257 (ViT-L/14: 151.5 vs 117.1
+# pairs/s/chip train step, +29%) where the remat'd [B,H,L,L] fp32 logits
+# round-trip through HBM starts to dominate. 'auto' switches at this line.
+_PALLAS_MIN_LEN = 224
+
+
 def dot_product_attention(
     q: jax.Array,
     k: jax.Array,
@@ -60,11 +68,23 @@ def dot_product_attention(
     *,
     causal: bool = False,
     scale: Optional[float] = None,
-    impl: str = "xla",
+    impl: str = "auto",
 ) -> jax.Array:
-    """Batched MHA core. Shapes ``[B, H, L, Dh]`` -> ``[B, H, Lq, Dh]``."""
+    """Batched MHA core. Shapes ``[B, H, L, Dh]`` -> ``[B, H, Lq, Dh]``.
+
+    ``impl``: 'xla' | 'pallas' | 'auto' (self-attention at L >=
+    _PALLAS_MIN_LEN on TPU takes the fused Pallas kernel, everything else
+    the XLA path — per-length measured default)."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    if impl == "auto":
+        impl = (
+            "pallas"
+            if (jax.default_backend() == "tpu"
+                and q.shape[-2] == k.shape[-2]
+                and q.shape[-2] >= _PALLAS_MIN_LEN)
+            else "xla"
+        )
     if impl == "pallas":
         # no silent fallback: flash_attention itself switches to interpret
         # mode off-TPU, so any exception here is a real kernel bug

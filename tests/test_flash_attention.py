@@ -54,3 +54,36 @@ def test_attention_dispatch_pallas_fallback(rng):
     ref = dot_product_attention(q, k, v, causal=True, impl="xla")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
                                atol=2e-6)
+
+
+def test_auto_dispatch_by_length(monkeypatch):
+    """'auto' (the model default since round 4) routes self-attention at
+    L>=224 to the Pallas kernel ON TPU — the measured crossover (ViT-L/14
+    L=257: +29% vs XLA; B/16 L=197 and text L=77: XLA wins) — and
+    everything else, and every shape off-TPU, to the XLA path."""
+    import declip_tpu.ops.attention as att
+    import declip_tpu.ops.flash_attention as fa
+
+    routed = []
+
+    def spy_flash(q, k, v, *, causal=False, scale=None):
+        routed.append(q.shape)
+        return q
+
+    monkeypatch.setattr(fa, "flash_attention", spy_flash)
+
+    q77 = jnp.zeros((2, 4, 77, 64))
+    q257 = jnp.zeros((2, 4, 257, 64))
+    q1 = jnp.zeros((2, 4, 1, 64))
+
+    # off-TPU (this suite runs on CPU): always XLA, any length
+    att.dot_product_attention(q257, q257, q257, impl="auto")
+    assert routed == []
+
+    monkeypatch.setattr(att.jax, "default_backend", lambda: "tpu")
+    att.dot_product_attention(q77, q77, q77, impl="auto")   # short: XLA
+    assert routed == []
+    att.dot_product_attention(q1, q257, q257, impl="auto")  # cross: XLA
+    assert routed == []
+    att.dot_product_attention(q257, q257, q257, impl="auto")  # long self
+    assert routed == [(2, 4, 257, 64)]
