@@ -43,6 +43,9 @@ A100_BASELINE = {
     # patch tokens at 1024w/24L vs 768w/12L, text tower 768w) — same
     # FLOPs-scaling logic as the B/16 anchor
     "clip_vitl14": 80.0,
+    # @336: ~2.6x the @224 image-tower FLOPs (577 vs 257 tokens, plus the
+    # quadratic attention term) on the same text tower
+    "clip_vitl14_336": 30.0,
     "declip_res50": 300.0,  # DeCLIP R50: 2 image views + 2 text towers + heads
     # DeCLIP ViT-B/32: ~2.4x the CLIP B/32 step (2 image views + 2 text
     # passes + MLM head + SimSiam/NN heads), same scaling logic as R50's
@@ -77,8 +80,10 @@ def build(model_name: str, per_chip_batch: int, remat: bool,
     b = per_chip_batch * n_chips
     rng = np.random.default_rng(0)
 
-    if model_name in ("clip_vitb32", "clip_vitb16", "clip_vitl14"):
-        dim = 768 if model_name == "clip_vitl14" else 512
+    if model_name in ("clip_vitb32", "clip_vitb16", "clip_vitl14",
+                      "clip_vitl14_336"):
+        dim = 768 if model_name.startswith("clip_vitl14") else 512
+        res = 336 if model_name == "clip_vitl14_336" else 224
         clip_kw = {"use_allgather": True}
         if loss_impl.startswith("sigmoid"):
             # the SigLIP recipe's learnable pairwise bias (ops/contrastive)
@@ -86,7 +91,7 @@ def build(model_name: str, per_chip_batch: int, remat: bool,
         model = model_entry({
             "type": model_name,
             "kwargs": {
-                "image_encode": {"embed_dim": dim, "input_resolution": 224,
+                "image_encode": {"embed_dim": dim, "input_resolution": res,
                                  "checkpoint": remat,
                                  "remat_policy": remat_policy,
                                  "scan_unroll": scan_unroll,
@@ -101,7 +106,7 @@ def build(model_name: str, per_chip_batch: int, remat: bool,
         })
         batch = {
             "images": jnp.asarray(
-                rng.normal(size=(b, 224, 224, 3)).astype(np.float32)),
+                rng.normal(size=(b, res, res, 3)).astype(np.float32)),
             "tokens": jnp.asarray(rng.integers(1, 40000, (b, 77)), jnp.int32),
         }
         cfg = parse_config("{}")
@@ -606,16 +611,19 @@ def run_decode_bench(n_images: int = 200, src_size=(512, 384),
 
 LABELS = {"clip_vitb32": "CLIP ViT-B/32", "clip_vitb16": "CLIP ViT-B/16",
           "clip_vitl14": "CLIP ViT-L/14",
+          "clip_vitl14_336": "CLIP ViT-L/14@336",
           "declip_res50": "DeCLIP-R50", "declip_vitb32": "DeCLIP ViT-B/32",
           "slip_vitb32": "SLIP ViT-B/32", "filip_vitb32": "FILIP ViT-B/32",
           "defilip_vitb32": "DeFILIP ViT-B/32"}
 DEFAULT_BATCH = {"clip_vitb32": 128, "clip_vitb16": 64, "clip_vitl14": 32,
+                 "clip_vitl14_336": 16,
                  "declip_res50": 128,
                  "declip_vitb32": 128, "slip_vitb32": 128,
                  "filip_vitb32": 128, "defilip_vitb32": 128}
 # per-model measured optima (paired A/B on v5e, README)
 DEFAULT_REMAT_POLICY = {"clip_vitb32": "dots", "clip_vitb16": "dots",
                         "clip_vitl14": "dots",
+                        "clip_vitl14_336": "dots",
                         "declip_res50": "policy", "declip_vitb32": "dots",
                         "slip_vitb32": "dots", "filip_vitb32": "dots",
                         "defilip_vitb32": "dots"}

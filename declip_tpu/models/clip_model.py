@@ -263,3 +263,14 @@ def clip_vitl14(**kwargs) -> CLIP:
     visual, text, ck = build_towers(_l14_defaults(kwargs),
                                     visual_transformer_L14)
     return CLIP(visual=visual, text=text, **ck)
+
+
+@MODELS.register
+def clip_vitl14_336(**kwargs) -> CLIP:
+    """OpenAI CLIP's high-res variant: 336px / 14px patches -> 577 image
+    tokens, the deepest sequence any tower here runs (attn_impl 'auto'
+    routes it to the fused Pallas kernel on TPU)."""
+    kwargs = _l14_defaults(kwargs)
+    kwargs["image_encode"].setdefault("input_resolution", 336)
+    visual, text, ck = build_towers(kwargs, visual_transformer_L14)
+    return CLIP(visual=visual, text=text, **ck)

@@ -371,6 +371,10 @@ def test_vitl14_factories():
         assert m.text.transformer_width == 768
         assert m.text.transformer_heads == 12
         assert m.text.embed_dim == 768
+    # @336 high-res variant: 577 image tokens on the same towers
+    m = model_entry({"type": "clip_vitl14_336", "kwargs": {}})
+    assert m.visual.input_resolution == 336 and m.visual.patch_size == 14
+    assert m.visual.width == 1024 and m.text.transformer_width == 768
     # explicit kwargs still override the L14 defaults
     m = model_entry({"type": "clip_vitl14", "kwargs": {
         "image_encode": {"embed_dim": 512},
