@@ -135,6 +135,18 @@ def export_serving(config_path: str, out_dir: str, batch: int = 0,
     if quantize not in ("", "int8"):
         raise ValueError(f"unknown --quantize {quantize!r} (only 'int8')")
     model, variables = load_eval_model(config_path)
+    # portability: pin the XLA attention path for export — 'auto' picks the
+    # Pallas kernel for long sequences on a TPU exporting host, and its
+    # custom-call lowering is platform-specific, which would silently
+    # downgrade the artifact from ("cpu","tpu") to the exporting platform
+    updates = {
+        tower: sub.clone(attn_impl="xla")
+        for tower in ("visual", "text")
+        for sub in [getattr(model, tower)]
+        if getattr(sub, "attn_impl", "xla") != "xla"
+    }
+    if updates:
+        model = model.clone(**updates)
     res = getattr(model.visual, "input_resolution", 224)
     if batch:
         b = batch
@@ -175,6 +187,9 @@ def export_serving(config_path: str, out_dir: str, batch: int = 0,
 
 
 def main(argv=None):
+    from declip_tpu.parallel.mesh import apply_platform_override
+
+    apply_platform_override()  # DECLIP_PLATFORM=cpu runs off-TPU
     ap = argparse.ArgumentParser()
     ap.add_argument("--from_pth")
     ap.add_argument("--to_pth")

@@ -30,6 +30,9 @@ from declip_tpu.tools._common import load_eval_model
 
 
 def main(argv=None):
+    from declip_tpu.parallel.mesh import apply_platform_override
+
+    apply_platform_override()  # DECLIP_PLATFORM=cpu runs off-TPU
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
     ap.add_argument("--image_dir", required=True)

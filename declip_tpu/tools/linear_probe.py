@@ -83,6 +83,9 @@ def train_probe(train_x, train_y, val_x, val_y, *, epochs=10, lr=1e-3,
 
 
 def main(argv=None):
+    from declip_tpu.parallel.mesh import apply_platform_override
+
+    apply_platform_override()  # DECLIP_PLATFORM=cpu runs off-TPU
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
     ap.add_argument("--meta", required=True)

@@ -27,6 +27,9 @@ def pca_2d(x: np.ndarray) -> np.ndarray:
 
 
 def main(argv=None):
+    from declip_tpu.parallel.mesh import apply_platform_override
+
+    apply_platform_override()  # DECLIP_PLATFORM=cpu runs off-TPU
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
     ap.add_argument("--texts", required=True, help="comma-separated texts")

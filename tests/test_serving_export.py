@@ -66,3 +66,34 @@ def test_symbolic_batch_accepts_other_sizes(exported):
     toks = jnp.ones((5, 77), jnp.int32)
     out = txt_fn.call(toks)
     assert out.shape[0] == 5
+
+
+def test_export_pins_xla_attention(tmp_path):
+    """Artifacts must stay multi-platform: a model configured with
+    attn_impl='pallas' (or 'auto' resolving to it on a TPU exporting host)
+    is exported through the XLA attention path — the Pallas custom-call
+    lowering is platform-specific and would silently downgrade the artifact
+    to the exporting platform."""
+    import shutil
+
+    import yaml
+
+    from declip_tpu.tools.convert import export_serving
+
+    with open(CONFIG) as f:
+        cfg = yaml.safe_load(f)
+    cfg["model"]["kwargs"]["image_encode"]["attn_impl"] = "pallas"
+    cfg["model"]["kwargs"]["text_encode"]["attn_impl"] = "pallas"
+    cfg_path = tmp_path / "config.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    files = export_serving(str(cfg_path), str(tmp_path / "out"), batch=2)
+    by_name = {os.path.basename(p).split(".")[0]: p for p in files}
+    from jax import export as jexport
+
+    with open(by_name["encode_image"], "rb") as f:
+        exp = jexport.deserialize(bytearray(f.read()))
+    assert set(exp.platforms) >= {"cpu", "tpu"}
+    out = exp.call(jnp.zeros((2, 224, 224, 3), jnp.float32))
+    assert np.asarray(out).shape == (2, 64)
