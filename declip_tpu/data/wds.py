@@ -40,7 +40,9 @@ import os.path as osp
 import random
 import re
 import tarfile
-from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+from typing import Any, Dict, List, Sequence, Tuple, Union
+
+import numpy as np
 
 from declip_tpu.data.dataset import ClipDataset, contains_chinese
 from declip_tpu.utils.registry import DATASETS
@@ -208,13 +210,19 @@ class WdsClipDataset(ClipDataset):
         if not self.shards:
             raise ValueError(f"no shards match {tar_files!r}")
         image_exts = tuple(e.lower() for e in image_exts)
-        # samples: (shard_idx, key, img (off, size), txt, json, cls) with
-        # member tuples or None — ordered by (shard, archive offset) so the
-        # index stream is deterministic across hosts
-        self.samples: List[Tuple[int, str, Tuple[int, int],
-                                 Optional[Tuple[int, int]],
-                                 Optional[Tuple[int, int]],
-                                 Optional[Tuple[int, int]]]] = []
+        self._image_exts = set(image_exts)
+        # Sample table: compact numpy arrays, NOT python objects — every
+        # host holds the FULL table (the samplers draw global indices), and
+        # at LAION scale (4e8 samples) a list-of-tuples-of-tuples costs
+        # ~300B/sample ≈ 120GB of host RAM vs ~76B/sample ≈ 30GB here.
+        # Columns: (img_off, img_size, txt_off, txt_size, js_off, js_size,
+        # cls_off, cls_size), -1 = member absent. Keys (only used to print
+        # filenames in eval dumps) are kept per-shard lazily on demand.
+        # Row order is (shard, archive offset): deterministic across hosts.
+        shard_col: List[np.ndarray] = []
+        member_col: List[np.ndarray] = []
+        self._row0: List[int] = []  # first global row of each shard
+        n = 0
         for si, shard in enumerate(self.shards):
             groups: Dict[str, Dict[str, Tuple[int, int]]] = {}
             order: List[str] = []
@@ -224,19 +232,28 @@ class WdsClipDataset(ClipDataset):
                 if not g:
                     order.append(key)
                 g[ext] = (off, size)
+            rows = []
             for key in order:
                 g = groups[key]
                 img = next((g[e] for e in image_exts if e in g), None)
                 if img is None:
                     continue  # non-image sample (metadata-only key)
-                self.samples.append(
-                    (si, key, img, g.get("txt"), g.get("json"),
-                     g.get("cls")))
-        self.num = len(self.samples)
+                rows.append(img + (g.get("txt") or (-1, -1))
+                            + (g.get("json") or (-1, -1))
+                            + (g.get("cls") or (-1, -1)))
+            self._row0.append(n)
+            n += len(rows)
+            shard_col.append(np.full(len(rows), si, np.int32))
+            member_col.append(np.asarray(rows, np.int64).reshape(-1, 8))
+        self._shard_of = np.concatenate(shard_col) if shard_col else \
+            np.zeros(0, np.int32)
+        self._members = np.concatenate(member_col) if member_col else \
+            np.zeros((0, 8), np.int64)
+        self._keys_cache: Dict[int, List[str]] = {}
+        self.num = int(self._members.shape[0])
 
     # ---- ranged member reads ------------------------------------------
-    def _read_member(self, shard_idx: int, member: Tuple[int, int]) -> bytes:
-        off, size = member
+    def _read_member(self, shard_idx: int, off: int, size: int) -> bytes:
         path = self.shards[shard_idx]
         if "://" in path:
             import fsspec
@@ -247,16 +264,38 @@ class WdsClipDataset(ClipDataset):
             f.seek(off)
             return f.read(size)
 
+    def _key(self, idx: int) -> str:
+        """Sample key for display (eval dumps) — rebuilt per shard on first
+        touch from the cached tar index, not held for the whole dataset."""
+        si = int(self._shard_of[idx])
+        keys = self._keys_cache.get(si)
+        if keys is None:
+            exts: Dict[str, set] = {}
+            order: List[str] = []
+            for name, _off, _size in build_tar_index(self.shards[si]):
+                key, ext = _sample_key(name)
+                s = exts.setdefault(key, set())
+                if not s:
+                    order.append(key)
+                s.add(ext)
+            # same per-key image filter as __init__, so rows line up
+            keys = [k for k in order if exts[k] & self._image_exts]
+            if len(self._keys_cache) > 8:  # bound resident key lists
+                self._keys_cache.clear()
+            self._keys_cache[si] = keys
+        return keys[idx - self._row0[si]]
+
     # ---- ClipDataset item protocol overrides ---------------------------
     def _meta(self, idx: int) -> Dict:
-        si, key, _img, txt, js, cls = self.samples[idx]
+        si = int(self._shard_of[idx])
+        m = self._members[idx]
         meta: Dict[str, Any] = {
-            "filename": f"{self.shards[si]}/{key}",
+            "filename": f"{self.shards[si]}/{self._key(idx)}",
             "caption": "",
             "tag": "",
         }
-        if js is not None:
-            d = json.loads(self._read_member(si, js))
+        if m[4] >= 0:  # .json
+            d = json.loads(self._read_member(si, int(m[4]), int(m[5])))
             meta["caption"] = d.get(self.caption_key, "") or ""
             if "label" in d:
                 meta["label"] = int(d["label"])
@@ -264,16 +303,18 @@ class WdsClipDataset(ClipDataset):
                 meta["label_name"] = d["label_name"]
             if "tag" in d:
                 meta["tag"] = d["tag"]
-        if txt is not None:
-            meta["caption"] = (
-                self._read_member(si, txt).decode("utf-8", "replace").strip())
-        if cls is not None:
-            meta["label"] = int(self._read_member(si, cls).decode().strip())
+        if m[2] >= 0:  # .txt is THE caption when present (wds convention)
+            meta["caption"] = self._read_member(
+                si, int(m[2]), int(m[3])).decode("utf-8", "replace").strip()
+        if m[6] >= 0:  # .cls
+            meta["label"] = int(
+                self._read_member(si, int(m[6]), int(m[7])).decode().strip())
         return meta
 
     def _load_image(self, idx: int, meta: Dict):
-        si, _key, img, _txt, _js, _cls = self.samples[idx]
-        return self._decode(self._read_member(si, img))
+        si = int(self._shard_of[idx])
+        m = self._members[idx]
+        return self._decode(self._read_member(si, int(m[0]), int(m[1])))
 
 
 @DATASETS.register(name="clip_wds")
