@@ -110,40 +110,58 @@ def _specs(n: int, L: int, dh: int):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _flash(q, k, v, causal: bool, scale: float, interpret: bool,
-           valid_len: int):
-    return _flash_fwd(q, k, v, causal, scale, interpret, valid_len)[0]
+def _pad_lane(x, Lp: int, dp: int):
+    bh, L, dh = x.shape
+    return jnp.pad(x, ((0, 0), (0, Lp - L), (0, dp - dh)))
 
 
-def _flash_fwd(q, k, v, causal, scale, interpret, valid_len):
-    # q,k,v: [BH, Lpad, Dh]
+def _pads(q):
+    sub = 16 if q.dtype == jnp.bfloat16 else 8
+    return _round_up(q.shape[1], sub), _round_up(q.shape[2], 128)
+
+
+# The custom_vjp closes over UNPADDED [BH, L, Dh] tensors and pads inside
+# each pass: saving the padded arrays instead costs real HBM in the layer
+# stack — Dh=64 pads to the 128-lane tile, DOUBLING the q/k/v residuals
+# held for backward (ViT-L/14 B=64: ~11GB of residuals, and custom_vjp
+# residuals are opaque to jax.checkpoint, so remat can't recover them).
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash(q, k, v, causal: bool, scale: float, interpret: bool):
+    return _flash_fwd(q, k, v, causal, scale, interpret)[0]
+
+
+def _flash_fwd(q, k, v, causal, scale, interpret):
+    # q,k,v: [BH, L, Dh] unpadded
     bh, L, dh = q.shape
+    Lp, dp = _pads(q)
+    qp, kp, vp = (_pad_lane(x, Lp, dp) for x in (q, k, v))
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, causal=causal,
-                          valid_len=valid_len),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+                          valid_len=L),
+        out_shape=jax.ShapeDtypeStruct(qp.shape, q.dtype),
         grid=(bh,),
-        in_specs=[_specs(bh, L, dh)] * 3,
-        out_specs=_specs(bh, L, dh),
+        in_specs=[_specs(bh, Lp, dp)] * 3,
+        out_specs=_specs(bh, Lp, dp),
         interpret=interpret,
-    )(q, k, v)
-    return out, (q, k, v)
+    )(qp, kp, vp)
+    return out[:, :L, :dh], (q, k, v)
 
 
-def _flash_bwd(causal, scale, interpret, valid_len, res, g):
+def _flash_bwd(causal, scale, interpret, res, g):
     q, k, v = res
     bh, L, dh = q.shape
+    Lp, dp = _pads(q)
+    qp, kp, vp, gp = (_pad_lane(x, Lp, dp) for x in (q, k, v, g))
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale, causal=causal,
-                          valid_len=valid_len),
-        out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype)] * 3,
+                          valid_len=L),
+        out_shape=[jax.ShapeDtypeStruct(qp.shape, q.dtype)] * 3,
         grid=(bh,),
-        in_specs=[_specs(bh, L, dh)] * 4,
-        out_specs=[_specs(bh, L, dh)] * 3,
+        in_specs=[_specs(bh, Lp, dp)] * 4,
+        out_specs=[_specs(bh, Lp, dp)] * 3,
         interpret=interpret,
-    )(q, k, v, g)
-    return dq, dk, dv
+    )(qp, kp, vp, gp)
+    return tuple(d[:, :L, :dh] for d in (dq, dk, dv))
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -158,20 +176,15 @@ def flash_attention(
     scale: Optional[float] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
-    """[B, H, L, Dh] fused attention. Pads L to the TPU sublane multiple."""
+    """[B, H, L, Dh] fused attention. Pads L/Dh to TPU tiles internally."""
     b, h, L, dh = q.shape
     if scale is None:
         scale = dh ** -0.5
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    sub = 16 if q.dtype == jnp.bfloat16 else 8
-    Lp = _round_up(L, sub)
-    dp = _round_up(dh, 128)
+    def flat(x):
+        return x.reshape(b * h, L, dh)
 
-    def prep(x):
-        x = x.reshape(b * h, L, dh)
-        return jnp.pad(x, ((0, 0), (0, Lp - L), (0, dp - dh)))
-
-    out = _flash(prep(q), prep(k), prep(v), causal, scale, interpret, L)
-    return out[:, :L, :dh].reshape(b, h, L, dh)
+    out = _flash(flat(q), flat(k), flat(v), causal, scale, interpret)
+    return out.reshape(b, h, L, dh)
