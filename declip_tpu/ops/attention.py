@@ -86,12 +86,52 @@ def dot_product_attention(
             else "xla"
         )
     if impl == "pallas":
-        # no silent fallback: flash_attention itself switches to interpret
-        # mode off-TPU, so any exception here is a real kernel bug
-        from declip_tpu.ops.flash_attention import flash_attention
-
-        return flash_attention(q, k, v, causal=causal, scale=scale)
+        return _pallas_attention(q, k, v, causal, scale)
     return _xla_attention(q, k, v, causal, scale)
+
+
+def _pallas_attention(q, k, v, causal: bool, scale: float) -> jax.Array:
+    """Pallas kernel dispatch, mesh-aware.
+
+    A bare ``pallas_call`` under GSPMD is a custom call the partitioner
+    cannot shard: measured on an 8-device mesh it REPLICATES — every device
+    all-gathers the full batch and runs the whole kernel (12 all-gathers in
+    the compiled HLO). So under a multi-device mesh (the solver installs the
+    tp.py activation context for every one) the kernel is wrapped in
+    shard_map: batch over the data axes, heads over 'model' when TP is
+    active — per-device kernels on local shards, zero collectives, matching
+    how the XLA path's activations are already laid out. Shapes that don't
+    divide the mesh fall back to the XLA path (always correct)."""
+    from declip_tpu.ops.flash_attention import flash_attention
+    from declip_tpu.parallel.tp import _ACT
+
+    mesh = _ACT["mesh"]
+    if mesh is None or mesh.devices.size == 1:
+        # single chip (bench, serving) or no installed context: bare kernel.
+        # No silent fallback: flash_attention itself switches to interpret
+        # mode off-TPU, so any exception here is a real kernel bug.
+        return flash_attention(q, k, v, causal=causal, scale=scale)
+    from jax.sharding import PartitionSpec as P
+
+    da, ma = _ACT["data"], _ACT["model"]
+    data_axes = da if isinstance(da, tuple) else (da,)
+    data_size = 1
+    for a in data_axes:
+        data_size *= mesh.shape[a]
+    if q.shape[0] % data_size:
+        return _xla_attention(q, k, v, causal, scale)
+    h_axis = None
+    if ma is not None:
+        if q.shape[1] % mesh.shape[ma]:
+            # TP-active but heads don't divide: the head dim is (or will
+            # be) 'model'-sharded by the surrounding matmuls — don't force
+            # a head gather here, take the TP-validated XLA path
+            return _xla_attention(q, k, v, causal, scale)
+        h_axis = ma
+    spec = P(da, h_axis)
+    fn = functools.partial(flash_attention, causal=causal, scale=scale)
+    return jax.shard_map(fn, mesh=mesh, in_specs=(spec, spec, spec),
+                         out_specs=spec, check_vma=False)(q, k, v)
 
 
 def split_heads(x: jax.Array, num_heads: int) -> jax.Array:

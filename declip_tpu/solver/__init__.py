@@ -144,11 +144,16 @@ class Solver:
         pp = int(pcfg.get("pp", 1) or 1)
         ep = int(pcfg.get("ep", 1) or 1)
         self.mesh = make_mesh(devices, tp=tp, pp=pp, ep=ep)
-        if tp > 1 or ep > 1 or pcfg.get("fsdp"):
+        if tp > 1 or ep > 1 or pcfg.get("fsdp") \
+                or int(self.mesh.devices.size) > 1:
             # in-model activation constraints (parallel/tp.py): pin the
             # TP head/hidden splits, and under FSDP stop ZeRO-3 weight
             # shards from leaking contraction-axis shardings into the
-            # attention remat body (involuntary full rematerialization)
+            # attention remat body (involuntary full rematerialization).
+            # Installed for plain multi-device DP too (model_axis=None: the
+            # DATA pins match what GSPMD infers anyway) so mesh-aware ops —
+            # the Pallas attention shard_map dispatch (ops/attention.py
+            # _pallas_attention) — can see the mesh at trace time.
             from declip_tpu.parallel.tp import set_activation_sharding
 
             set_activation_sharding(
