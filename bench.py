@@ -11,7 +11,7 @@ model/recipe (the reference publishes no numbers, SURVEY.md §6; the CLIP
 ViT-B/32 anchor is the standard public ~1000 pairs/sec/GPU at batch 128
 fp16).
 
-Variants: ``--model clip_vitb32|clip_vitb16|clip_vitl14|declip_res50|
+Variants: ``--model clip_vitb32|clip_vitb16|clip_vitl14|clip_vitl14_336|declip_res50|
 declip_vitb32|slip_vitb32|filip_vitb32|defilip_vitb32`` benches one model
 (every model family the framework trains, plus the beyond-reference L/14
 scale point); ``--loss-impl full|chunked|ring|sigmoid|sigmoid_chunked|

@@ -333,10 +333,18 @@ class Transformer(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         block = ResidualAttentionBlock
+        # prevent_cse: inside a ROLLED lax.scan the loop structure already
+        # stops XLA from CSE-merging the backward recompute with saved
+        # forward values, so barriers would only hurt scheduling. But under
+        # the full/partial-unroll default (scan_unroll auto -> full on TPU)
+        # the bodies are inlined and CSE silently DEFEATS the remat —
+        # measured: ViT-L/14 B=64 `checkpoint: True` compiled to the same
+        # 17.8GB as no-remat. Emit barriers whenever bodies are unrolled.
+        prevent_cse = self._resolve_unroll() > 1
         if self.remat:
             # reference `checkpoint:` semantics: full activation remat
             # (torch checkpoint_sequential, base_transformer.py:66-73)
-            block = nn.remat(block, prevent_cse=False)
+            block = nn.remat(block, prevent_cse=prevent_cse)
         else:
             # default: save only MXU (matmul) outputs per layer; recompute
             # LayerNorm/GELU/softmax in backward. Under nn.scan the naive

@@ -101,8 +101,14 @@ def pipeline_transformer(
     n_micro = max(int(_PP["n_micro"]), 1)
     data_axes = tuple(a for a in mesh.axis_names if a != PIPE_AXIS)
 
+    # prevent_cse: with the layer scan inside the stage unrolled (>1), the
+    # inlined bodies sit next to their forward values and XLA CSE would
+    # silently defeat the remat — same hazard as models/layers.py; barriers
+    # are only skipped for the rolled scan, whose loop structure protects it
+    prevent_cse = unroll > 1
     if remat_policy == "full":
-        stage_remat = lambda f: jax.checkpoint(f, prevent_cse=False)  # noqa: E731
+        stage_remat = lambda f: jax.checkpoint(  # noqa: E731
+            f, prevent_cse=prevent_cse)
     else:
         policy = {
             "policy": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
@@ -110,7 +116,7 @@ def pipeline_transformer(
             "all": jax.checkpoint_policies.everything_saveable,
         }[remat_policy or "policy"]
         stage_remat = lambda f: jax.checkpoint(  # noqa: E731
-            f, prevent_cse=False, policy=policy)
+            f, prevent_cse=prevent_cse, policy=policy)
 
     def body(p_local, x_local):
         stage = lax.axis_index(PIPE_AXIS)
