@@ -782,6 +782,9 @@ def main():
         "clip_vitb32": extra_leg("clip_vitb32"),
         "declip_vitb32": extra_leg(
             "declip_vitb32", mlm_max_positions=mlm_positions),
+        # the round-4 scale point: L=257 rides the fused Pallas attention
+        # (attn_impl auto), +29-34% over the XLA path at this length
+        "clip_vitl14": extra_leg("clip_vitl14"),
     }
     declip_pairs, declip_perf = run(
         "declip_res50", args.batch or DEFAULT_BATCH["declip_res50"],
