@@ -114,7 +114,17 @@ def _pallas_attention(q, k, v, causal: bool, scale: float) -> jax.Array:
     from jax.sharding import PartitionSpec as P
 
     da, ma = _ACT["data"], _ACT["model"]
-    data_axes = da if isinstance(da, tuple) else (da,)
+
+    def _flat(a):
+        # the data entry can nest tuples (multi-slice ('dcn','data') inside
+        # the expert-mesh (data_axis, 'expert') pair) — P specs need it flat
+        if a is None:
+            return ()
+        if isinstance(a, tuple):
+            return tuple(x for n in a for x in _flat(n))
+        return (a,)
+
+    data_axes = _flat(da)
     data_size = 1
     for a in data_axes:
         data_size *= mesh.shape[a]
@@ -128,7 +138,7 @@ def _pallas_attention(q, k, v, causal: bool, scale: float) -> jax.Array:
             # a head gather here, take the TP-validated XLA path
             return _xla_attention(q, k, v, causal, scale)
         h_axis = ma
-    spec = P(da, h_axis)
+    spec = P(data_axes if len(data_axes) > 1 else data_axes[0], h_axis)
     fn = functools.partial(flash_attention, causal=causal, scale=scale)
     return jax.shard_map(fn, mesh=mesh, in_specs=(spec, spec, spec),
                          out_specs=spec, check_vma=False)(q, k, v)

@@ -31,8 +31,14 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def gather_features(feat: jax.Array, axis_name: Optional[str]) -> jax.Array:
-    """Differentiable all-gather along a mesh axis (identity without one)."""
+def _ring_axes(axis_name) -> tuple:
+    """Normalize a mesh-axis spec (str or tuple of str) to a tuple."""
+    return (axis_name,) if isinstance(axis_name, str) else tuple(axis_name)
+
+
+def gather_features(feat: jax.Array, axis_name) -> jax.Array:
+    """Differentiable all-gather along one or more mesh axes (identity
+    without one)."""
     if axis_name is None:
         return feat
     return lax.all_gather(feat, axis_name, tiled=True)
@@ -51,13 +57,21 @@ def similarity_logits(
 
 
 def infonce_labels(
-    batch_size: int, axis_name: Optional[str] = None
+    batch_size: int, axis_name=None
 ) -> jax.Array:
-    """Positive indices: ``axis_index * B + arange(B)`` (loss.py:37-42)."""
+    """Positive indices: ``axis_index * B + arange(B)`` (loss.py:37-42).
+
+    axis_name may be a tuple of mesh axes (multi-slice: ('dcn', 'data'));
+    the global rank is then row-major over the axes, matching the
+    concatenation order of ``lax.all_gather`` over the same tuple."""
     base = jnp.arange(batch_size, dtype=jnp.int32)
     if axis_name is None:
         return base
-    return lax.axis_index(axis_name) * batch_size + base
+    axes = _ring_axes(axis_name)
+    idx = jnp.zeros((), jnp.int32)
+    for ax in axes:
+        idx = idx * lax.axis_size(ax) + lax.axis_index(ax)
+    return idx * batch_size + base
 
 
 def cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
@@ -172,11 +186,59 @@ def chunked_clip_pair_loss(
     return (li + lt) / 2
 
 
+def _varying(x, axes: tuple):
+    """Mark constants as device-varying over the given mesh axes so scan
+    carries typecheck under shard_map's manual-axes tracking."""
+    if hasattr(lax, "pcast"):
+        return lax.pcast(x, axes, to="varying")
+    try:
+        return lax.pvary(x, axes)
+    except AttributeError:  # older jax
+        return x
+
+
+def _nested_ring(blk: jax.Array, carry, tile_fn, axes: tuple):
+    """Hierarchical ring schedule over one or more mesh axes.
+
+    ``tile_fn(carry, blk, is_first) -> carry`` folds one local
+    [B_local, B_local] tile; ``is_first`` marks the tile whose key block
+    originated on this shard (the positives' diagonal). The LAST axis
+    rotates fastest: a full inner cycle of ``ppermute`` hops (the fast
+    links — intra-slice ICI) runs between consecutive single shifts of
+    each outer axis (the slow links — inter-slice DCN under
+    ``parallelism: {slices: N}``), so a W_dcn x W_data ring sends each
+    block across DCN only W_dcn times total instead of making the
+    slice-boundary devices cross DCN on every one of the W_dcn*W_data
+    tile steps (the flat-ring schedule's bottleneck). Gradients flow
+    through ppermute (its transpose is the reverse permutation)."""
+
+    def run(carry, blk, axes, is_first):
+        ax = axes[0]
+        w = lax.axis_size(ax)
+        perm = [(i, (i + 1) % w) for i in range(w)]
+
+        def body(c, step):
+            carry, blk = c
+            first = jnp.logical_and(is_first, step == 0)
+            if len(axes) == 1:
+                carry = tile_fn(carry, blk, first)
+            else:
+                carry, blk = run(carry, blk, axes[1:], first)
+            blk = lax.ppermute(blk, ax, perm)
+            return (carry, blk), None
+
+        (carry, blk), _ = lax.scan(body, (carry, blk), jnp.arange(w))
+        return carry, blk
+
+    carry, _ = run(carry, blk, axes, jnp.bool_(True))
+    return carry
+
+
 def ring_cross_entropy(
     feat_a: jax.Array,
     feat_b_local: jax.Array,
     scale: jax.Array,
-    axis_name: str,
+    axis_name,
 ) -> jax.Array:
     """Gather-free ring InfoNCE CE under shard_map.
 
@@ -185,19 +247,21 @@ def ring_cross_entropy(
     (SURVEY.md §5.7's prescription): each of the W steps computes one
     [B_local, B_local] logits tile and folds it into a running logsumexp.
     Peak memory is one tile; comms ride ICI neighbor links and overlap with
-    the tile matmul. Gradients flow through ppermute (its transpose is the
-    reverse permutation).
+    the tile matmul.
+
+    ``axis_name`` may be a tuple of mesh axes (multi-slice:
+    ('dcn', 'data')) — the ring then runs hierarchically via
+    ``_nested_ring``, inner cycles on ICI and one DCN shift per cycle.
 
     Positive logits: row i's positive is column i of the tile that
     originated on this shard (labels = own global rows).
     """
-    w = lax.axis_size(axis_name)
+    axes = _ring_axes(axis_name)
     b = feat_a.shape[0]
     scale32 = scale.astype(jnp.float32)
-    perm = [(i, (i + 1) % w) for i in range(w)]
 
-    def body(carry, step):
-        m, s, pos, blk = carry
+    def tile(carry, blk, first):
+        m, s, pos = carry
         logits = scale32 * jnp.einsum(
             "nd,md->nm", feat_a, blk, preferred_element_type=jnp.float32
         )
@@ -206,30 +270,15 @@ def ring_cross_entropy(
         s = s * jnp.exp(m - new_m) + jnp.exp(
             logits - new_m[:, None]
         ).sum(axis=-1)
-        # the block held at step t originated at (my - t) mod W; our own
-        # block (holding our positives on the diagonal) is the t=0 one
-        is_mine = step == 0
-        pos = jnp.where(is_mine, jnp.diagonal(logits), pos)
-        blk = lax.ppermute(blk, axis_name, perm)
-        return (new_m, s, pos, blk), None
-
-    def _varying(x):
-        # mark constants as device-varying so the scan carry typechecks
-        # under shard_map's manual-axes tracking
-        if hasattr(lax, "pcast"):
-            return lax.pcast(x, axis_name, to="varying")
-        try:
-            return lax.pvary(x, axis_name)
-        except AttributeError:  # older jax
-            return x
+        pos = jnp.where(first, jnp.diagonal(logits), pos)
+        return (new_m, s, pos)
 
     init = (
-        _varying(jnp.full((b,), -jnp.inf, jnp.float32)),
-        _varying(jnp.zeros((b,), jnp.float32)),
-        _varying(jnp.zeros((b,), jnp.float32)),
-        feat_b_local,
+        _varying(jnp.full((b,), -jnp.inf, jnp.float32), axes),
+        _varying(jnp.zeros((b,), jnp.float32), axes),
+        _varying(jnp.zeros((b,), jnp.float32), axes),
     )
-    (m, s, pos, _), _ = lax.scan(body, init, jnp.arange(w))
+    m, s, pos = _nested_ring(feat_b_local, init, tile, axes)
     lse = m + jnp.log(s)
     return (lse - pos).mean()
 
@@ -337,41 +386,31 @@ def ring_sigmoid_pair_loss(
     image_embed: jax.Array,
     text_embed: jax.Array,
     scale: jax.Array,
-    axis_name: str,
+    axis_name,
 ) -> jax.Array:
     """Gather-free ring SigLIP loss under shard_map — the SigLIP paper's
     'chunked' device schedule: the local text block circulates via
     ``ppermute``; each of the W steps adds one [B_local, B_local] tile's
     pairwise terms. Because the sigmoid loss has no normalizer there is no
-    running-max/logsumexp carry — each tile's contribution is final."""
+    running-max/logsumexp carry — each tile's contribution is final.
+    ``axis_name`` may be a tuple of axes (multi-slice hierarchical ring,
+    see ``_nested_ring``)."""
     s, bias = _split_scale(scale)
-    w = lax.axis_size(axis_name)
+    axes = _ring_axes(axis_name)
     b = image_embed.shape[0]
     s32 = s.astype(jnp.float32)
-    perm = [(i, (i + 1) % w) for i in range(w)]
     eye = jnp.eye(b, dtype=jnp.float32)
 
-    def body(carry, step):
-        acc, blk = carry
+    def tile(acc, blk, first):
         logits = s32 * jnp.einsum(
             "nd,md->nm", image_embed, blk,
             preferred_element_type=jnp.float32) + bias
-        # the t=0 block is our own: positives sit on its diagonal
-        z = jnp.where(step == 0, 2.0 * eye - 1.0, -jnp.ones_like(logits))
-        acc = acc + (-jax.nn.log_sigmoid(z * logits)).sum(axis=-1)
-        blk = lax.ppermute(blk, axis_name, perm)
-        return (acc, blk), None
+        # the first block is our own: positives sit on its diagonal
+        z = jnp.where(first, 2.0 * eye - 1.0, -jnp.ones_like(logits))
+        return acc + (-jax.nn.log_sigmoid(z * logits)).sum(axis=-1)
 
-    def _varying(x):
-        if hasattr(lax, "pcast"):
-            return lax.pcast(x, axis_name, to="varying")
-        try:
-            return lax.pvary(x, axis_name)
-        except AttributeError:  # older jax
-            return x
-
-    init = (_varying(jnp.zeros((b,), jnp.float32)), text_embed)
-    (acc, _), _ = lax.scan(body, init, jnp.arange(w))
+    init = _varying(jnp.zeros((b,), jnp.float32), axes)
+    acc = _nested_ring(text_embed, init, tile, axes)
     return acc.mean()
 
 
@@ -459,8 +498,10 @@ def make_pair_loss(cfg, *, mesh=None, axis_name: Optional[str] = None):
         except ImportError:  # older jax
             from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
+        from declip_tpu.parallel.mesh import batch_axes
 
-        axis = mesh.axis_names[0]
+        axis = batch_axes(mesh)  # ('dcn', 'data') on a multi-slice mesh
+        bspec = axis if len(axis) > 1 else axis[0]
 
         def ring_fn(i, t, s, b):
             return lax.pmean(
@@ -468,7 +509,7 @@ def make_pair_loss(cfg, *, mesh=None, axis_name: Optional[str] = None):
 
         ring_sm = shard_map(
             ring_fn, mesh=mesh,
-            in_specs=(P(axis), P(axis), P(), P()), out_specs=P())
+            in_specs=(P(bspec), P(bspec), P(), P()), out_specs=P())
 
         def pair(img, txt, scale):
             s, b = _split_scale(scale)
@@ -494,15 +535,17 @@ def make_pair_loss(cfg, *, mesh=None, axis_name: Optional[str] = None):
         except ImportError:  # older jax
             from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
+        from declip_tpu.parallel.mesh import batch_axes
 
-        axis = mesh.axis_names[0]
+        axis = batch_axes(mesh)  # ('dcn', 'data') on a multi-slice mesh
+        bspec = axis if len(axis) > 1 else axis[0]
 
         def ring_fn(i, t, s):
             return lax.pmean(ring_clip_pair_loss(i, t, s, axis), axis)
 
         ring_sm = shard_map(
             ring_fn, mesh=mesh,
-            in_specs=(P(axis), P(axis), P()), out_specs=P())
+            in_specs=(P(bspec), P(bspec), P()), out_specs=P())
 
         def pair(img, txt, scale):
             s, _ = _split_scale(scale)

@@ -1,5 +1,7 @@
 from declip_tpu.parallel.mesh import (  # noqa: F401
     DATA_AXIS,
+    DCN_AXIS,
+    batch_axes,
     batch_sharding,
     make_mesh,
     maybe_initialize_distributed,

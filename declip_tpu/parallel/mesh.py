@@ -22,39 +22,88 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+DCN_AXIS = "dcn"  # multi-slice data parallelism: the inter-slice network
+
+
+def _slice_major(devices: np.ndarray, slices: int) -> np.ndarray:
+    """Order devices slice-major for a [slices, per_slice] reshape.
+
+    Real multi-slice TPU devices carry ``slice_index``; grouping rows by it
+    keeps every 'data'-axis collective on intra-slice ICI and only the
+    leading 'dcn' axis on the (slower) inter-slice DCN. Devices without
+    slice_index (CPU test meshes, single slice) keep their given order."""
+    devs = list(devices.ravel())
+    if devices.size % slices:
+        raise ValueError(
+            f"{devices.size} devices not divisible by slices={slices}")
+    idx = {getattr(d, "slice_index", None) for d in devs}
+    if len(idx) == slices and None not in idx:
+        devs = sorted(devs, key=lambda d: (d.slice_index, d.id))
+    return np.asarray(devs)
 
 
 def make_mesh(devices=None, axis_name: str = DATA_AXIS, tp: int = 1,
-              pp: int = 1, ep: int = 1) -> Mesh:
+              pp: int = 1, ep: int = 1, slices: int = 1) -> Mesh:
     """1-D data mesh, or — with ``tp > 1`` / ``pp > 1`` / ``ep > 1`` — a
     2-D [data, model], [data, pipe] or [data, expert] mesh whose trailing
     axis carries tensor-parallel (parallel/tp.py), pipeline
     (parallel/pp.py) or MoE expert-parallel (models/layers.py MoeMlpBlock)
     shards. Adjacent device ids land on the same model/pipe/expert group,
     keeping the intra-group collectives (TP all-reduces, pipeline
-    ppermutes, MoE dispatch all-to-alls) on the shortest ICI hops."""
+    ppermutes, MoE dispatch all-to-alls) on the shortest ICI hops.
+
+    ``slices > 1`` (``parallelism: {slices: N}``) prepends a 'dcn' axis for
+    multi-slice data parallelism: the batch shards over BOTH ('dcn',
+    'data'), gradients psum hierarchically (reduce within the slice over
+    ICI, then across slices over DCN — GSPMD emits that decomposition from
+    the mesh topology), and everything placed over 'data' only (FSDP
+    shards, TP groups) stays inside one slice's ICI domain."""
     devices = np.asarray(devices if devices is not None else jax.devices())
     if sum(n > 1 for n in (tp, pp, ep)) > 1:
         raise ValueError("tp, pp and ep do not compose yet — pick one")
+    lead_axes: tuple = (axis_name,)
+    if slices > 1:
+        if pp > 1:
+            raise ValueError(
+                "parallelism: slices does not compose with pp — the GPipe "
+                "ppermute schedule is not validated across DCN hops")
+        devices = _slice_major(devices, slices)
+        lead_axes = (DCN_AXIS, axis_name)
+    lead_shape = (slices, -1) if slices > 1 else (-1,)
     for n, axis in ((tp, MODEL_AXIS), (pp, "pipe"), (ep, "expert")):
         if n > 1:
-            if devices.size % n:
+            if devices.size % (n * slices):
                 raise ValueError(f"{devices.size} devices not divisible by "
-                                 f"{axis}={n}")
-            return Mesh(devices.reshape(-1, n), (axis_name, axis))
-    return Mesh(devices, (axis_name,))
+                                 f"{axis}={n} x slices={slices}")
+            return Mesh(devices.reshape(*lead_shape, n), (*lead_axes, axis))
+    return Mesh(devices.reshape(lead_shape), lead_axes)
+
+
+def batch_axes(mesh: Mesh) -> tuple:
+    """The mesh axes that carry the global batch's data-parallel shards, in
+    sharding order — ('dcn', 'data') on a multi-slice mesh, ('data',)
+    otherwise. Ring-scheduled losses iterate these hierarchically (inner
+    ring on ICI, one outer shift per inner cycle on DCN); 'expert' is NOT
+    included — it co-shards the batch under ep but carries MoE dispatch,
+    not a ring."""
+    if DCN_AXIS in mesh.axis_names:
+        return (DCN_AXIS, DATA_AXIS)
+    return (DATA_AXIS,)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) dim over the data axis.
+    """Shard the leading (batch) dim over every data-parallel axis.
 
     On an expert mesh ([data, expert], ``parallelism: {ep: N}``) the batch
     shards over BOTH axes: non-MoE compute stays fully data-parallel and
     only the MoE dispatch/FFN tensors pin to 'expert'
-    (parallel/tp.py set_activation_sharding)."""
+    (parallel/tp.py set_activation_sharding). On a multi-slice mesh
+    ([dcn, data, ...], ``parallelism: {slices: N}``) the batch additionally
+    shards over the leading 'dcn' axis."""
+    axes = list(batch_axes(mesh))
     if "expert" in mesh.axis_names:
-        return NamedSharding(mesh, P((DATA_AXIS, "expert")))
-    return NamedSharding(mesh, P(DATA_AXIS))
+        axes.append("expert")
+    return NamedSharding(mesh, P(tuple(axes) if len(axes) > 1 else axes[0]))
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())

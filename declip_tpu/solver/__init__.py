@@ -143,7 +143,12 @@ class Solver:
         tp = int(pcfg.get("tp", 1) or 1)
         pp = int(pcfg.get("pp", 1) or 1)
         ep = int(pcfg.get("ep", 1) or 1)
-        self.mesh = make_mesh(devices, tp=tp, pp=pp, ep=ep)
+        # parallelism: {slices: N} — multi-slice data parallelism over a
+        # hybrid [dcn, data, ...] mesh: batch over BOTH axes, gradient
+        # reductions decomposed by GSPMD into intra-slice ICI + inter-slice
+        # DCN phases, FSDP/TP placements kept inside one slice's ICI domain
+        slices = int(pcfg.get("slices", 1) or 1)
+        self.mesh = make_mesh(devices, tp=tp, pp=pp, ep=ep, slices=slices)
         if tp > 1 or ep > 1 or pcfg.get("fsdp") \
                 or int(self.mesh.devices.size) > 1:
             # in-model activation constraints (parallel/tp.py): pin the
@@ -154,10 +159,14 @@ class Solver:
             # DATA pins match what GSPMD infers anyway) so mesh-aware ops —
             # the Pallas attention shard_map dispatch (ops/attention.py
             # _pallas_attention) — can see the mesh at trace time.
+            from declip_tpu.parallel.mesh import batch_axes
             from declip_tpu.parallel.tp import set_activation_sharding
 
+            daxes = batch_axes(self.mesh)
             set_activation_sharding(
-                self.mesh, model_axis="model" if tp > 1 else None,
+                self.mesh,
+                data_axis=daxes if len(daxes) > 1 else daxes[0],
+                model_axis="model" if tp > 1 else None,
                 seq=bool(pcfg.get("sp")) and tp > 1)
         if pp > 1:
             # pipeline parallelism (parallel/pp.py): transformer towers run

@@ -85,13 +85,16 @@ def make_cached_value_and_grad(
 
         chunks = jax.tree.map(chunked, batch)
         if mesh is not None and "data" in mesh.axis_names:
-            # keep each chunk sharded over the data axis (the reshape moves
+            # keep each chunk sharded over the data axes (the reshape moves
             # the sharded dim; without the pin GSPMD may gather the batch)
             from jax.sharding import NamedSharding, PartitionSpec as P
+            from declip_tpu.parallel.mesh import batch_axes
 
+            daxes = batch_axes(mesh)
+            bspec = daxes if len(daxes) > 1 else daxes[0]
             chunks = jax.tree.map(
                 lambda x: jax.lax.with_sharding_constraint(
-                    x, NamedSharding(mesh, P(None, "data"))), chunks)
+                    x, NamedSharding(mesh, P(None, bspec))), chunks)
 
         chunk_b = jax.tree.leaves(chunks)[0].shape[1]
 
