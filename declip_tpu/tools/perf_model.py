@@ -57,9 +57,18 @@ CHIPS: Dict[str, ChipSpec] = {
 @dataclass(frozen=True)
 class Plan:
     """A data-parallel slice plan (the regime every reference recipe uses;
-    TP/PP change the compute leg itself and are measured, not projected)."""
+    TP/PP change the compute leg itself and are measured, not projected).
+
+    ``slices > 1`` models multi-slice DP (``parallelism: {slices: N}``):
+    ``chips`` is the per-slice count, gradients reduce hierarchically —
+    reduce-scatter in-slice over ICI, the cross-slice exchange of the
+    1/chips shard over DCN, then the in-slice all-gather. ``dcn_gbs`` is
+    the per-chip DCN bandwidth (public figure: ~25 GB/s per v5e host of 8
+    chips ≈ 3.1 GB/s per chip; override for your fabric)."""
     chips: int
     fsdp: bool = False
+    slices: int = 1
+    dcn_gbs: float = 3.1
 
 
 def _ring_allreduce_s(bytes_per_chip: float, n: int, spec: ChipSpec,
@@ -98,35 +107,55 @@ def project(params_m: float, step_ms: float, batch_per_chip: int,
     default scheduler it sits near 1.0 until comms dominate.
     """
     n = plan.chips
+    s = max(1, plan.slices)
     p_bytes = params_m * 1e6 * param_bytes
+    g_bytes = params_m * 1e6 * grad_bytes
 
     if plan.fsdp:
         shard = p_bytes / n
-        # fwd all-gather + bwd all-gather + grad reduce-scatter
+        # fwd all-gather + bwd all-gather + grad reduce-scatter — all
+        # in-slice (the framework shards FSDP over 'data' only, keeping
+        # weight traffic on ICI; parallel/fsdp.py)
         t_comm = (2 * _ring_allgather_s(shard, n, spec)
                   + _ring_allgather_s(shard * grad_bytes / param_bytes,
                                       n, spec))
     else:
-        t_comm = _ring_allreduce_s(params_m * 1e6 * grad_bytes, n, spec)
+        t_comm = _ring_allreduce_s(g_bytes, n, spec)
+
+    # multi-slice: after the in-slice reduce-scatter each chip holds a
+    # 1/n grad shard; the cross-slice all-reduce of that shard rides DCN
+    # (2*(s-1)/s of the shard crosses each chip's DCN boundary), then the
+    # in-slice all-gather completes the hierarchical all-reduce. The ICI
+    # wire total is unchanged (RS + AG = one flat in-slice all-reduce).
+    t_dcn = 0.0
+    if s > 1:
+        dcn_wire = 2.0 * (g_bytes / n) * (s - 1) / s
+        t_dcn = dcn_wire / (plan.dcn_gbs * 1e9)
+        t_comm += t_dcn
 
     t_compute = step_ms / 1e3
     t_exposed = max(0.0, t_comm - overlap * t_compute)
     t_step = t_compute + t_exposed
     serial = t_compute + t_comm
 
+    total_chips = n * s
     out = {
-        "chips": n,
+        "chips": total_chips,
         "fsdp": plan.fsdp,
-        "global_batch": batch_per_chip * n,
+        "global_batch": batch_per_chip * total_chips,
         "t_compute_ms": round(t_compute * 1e3, 2),
         "t_comm_ms": round(t_comm * 1e3, 2),
         "t_step_ms": round(t_step * 1e3, 2),
         "t_step_serial_ms": round(serial * 1e3, 2),
-        "pairs_per_s": round(batch_per_chip * n / t_step, 1),
+        "pairs_per_s": round(batch_per_chip * total_chips / t_step, 1),
         "pairs_per_s_per_chip": round(batch_per_chip / t_step, 1),
         "scaling_efficiency": round((step_ms / 1e3) / t_step, 4),
-        "bound": "compute" if t_exposed == 0.0 else "ici",
+        "bound": ("compute" if t_exposed == 0.0
+                  else "dcn" if t_dcn > t_comm - t_dcn else "ici"),
     }
+    if s > 1:
+        out["slices"] = s
+        out["t_dcn_ms"] = round(t_dcn * 1e3, 2)
     if flops_per_step:
         out["mfu"] = round(
             flops_per_step / t_step / (spec.peak_tflops_bf16 * 1e12), 4)
@@ -135,9 +164,13 @@ def project(params_m: float, step_ms: float, batch_per_chip: int,
 
 def project_table(params_m: float, step_ms: float, batch_per_chip: int,
                   spec: ChipSpec, chip_counts: List[int],
-                  fsdp: bool = False, **kw) -> List[Dict]:
+                  fsdp: bool = False, slices: int = 1,
+                  dcn_gbs: float = 3.1, **kw) -> List[Dict]:
+    """chip_counts are PER-SLICE counts when slices > 1 (the reported
+    'chips' field is the total = per-slice x slices)."""
     return [project(params_m, step_ms, batch_per_chip, spec,
-                    Plan(n, fsdp=fsdp), **kw) for n in chip_counts]
+                    Plan(n, fsdp=fsdp, slices=slices, dcn_gbs=dcn_gbs),
+                    **kw) for n in chip_counts]
 
 
 def _measured_from_config(config_path: str, batch: int):
@@ -176,6 +209,12 @@ def main(argv=None):
     ap.add_argument("--chips", default="1,4,8,16,32,64",
                     help="comma-separated slice sizes")
     ap.add_argument("--fsdp", action="store_true")
+    ap.add_argument("--slices", type=int, default=1,
+                    help="multi-slice DP: --chips become per-slice counts; "
+                         "adds the cross-slice DCN all-reduce leg")
+    ap.add_argument("--dcn-gbs", type=float, default=3.1,
+                    help="per-chip DCN bandwidth GB/s (default: 25 GB/s "
+                         "per 8-chip v5e host)")
     ap.add_argument("--overlap", type=float, default=1.0)
     ap.add_argument("--peak-tf", type=float)
     ap.add_argument("--hbm-gbs", type=float)
@@ -202,7 +241,8 @@ def main(argv=None):
 
     rows = project_table(params_m, args.step_ms, args.batch, spec,
                          [int(c) for c in args.chips.split(",")],
-                         fsdp=args.fsdp, overlap=args.overlap,
+                         fsdp=args.fsdp, slices=args.slices,
+                         dcn_gbs=args.dcn_gbs, overlap=args.overlap,
                          flops_per_step=flops)
     for row in rows:
         print(json.dumps({"params_m": round(params_m, 1),

@@ -94,3 +94,21 @@ def test_cli_emits_json_rows(capsys):
     rows = [json.loads(l) for l in lines]
     assert len(rows) == 2 and rows[1]["chips"] == 16
     assert rows[1]["bound"] in ("compute", "ici")
+
+
+def test_multislice_dcn_leg():
+    """slices>1 adds the hierarchical all-reduce's cross-slice DCN phase:
+    in-slice ICI wire unchanged, plus 2*(g/n)*(s-1)/s over per-chip DCN."""
+    spec = CHIPS["v5e"]
+    flat = project(81.4, 176.3, 128, spec, Plan(16))
+    ms = project(81.4, 176.3, 128, spec, Plan(16, slices=4))
+    assert ms["chips"] == 64 and ms["global_batch"] == 128 * 64
+    assert ms["slices"] == 4 and ms["t_dcn_ms"] > 0
+    assert ms["t_comm_ms"] == pytest.approx(
+        flat["t_comm_ms"] + ms["t_dcn_ms"], abs=0.02)
+    g = 81.4e6 * 4  # fp32 grad bytes
+    expected_ms = 2.0 * (g / 16) * (3 / 4) / (3.1e9) * 1e3
+    assert ms["t_dcn_ms"] == pytest.approx(expected_ms, abs=0.01)
+    # a slow DCN fabric flips the binding constraint to 'dcn'
+    slow = project(81.4, 20.0, 128, spec, Plan(16, slices=4, dcn_gbs=0.05))
+    assert slow["bound"] == "dcn"
