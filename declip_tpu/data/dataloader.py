@@ -20,7 +20,11 @@ keyed by (seed, global batch index) so they DO replay exactly across resume
 one remaining non-replayed source, same as the reference — the on-device
 augmentation path (device_aug) removes even that (keyed by step).
 PIL decode/resize releases the GIL, so threads scale; the C++ decode pool
-(native/) slots in underneath `dataset.__getitem__` when built.
+(native/) slots in underneath `dataset.__getitem__` when built. When the
+GIL-bound glue (tokenize/EDA/assembly) itself becomes the ceiling — a host
+feeding many chips — ``worker_type: process`` moves whole-batch building
+into spawned worker processes with identical batch/keying semantics
+(tests/test_process_workers.py pins bit-parity with the thread loader).
 """
 
 from __future__ import annotations
@@ -28,12 +32,45 @@ from __future__ import annotations
 import itertools
 import random
 from collections import deque
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from typing import Any, Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
 
 from declip_tpu.tokenizer import EDA, get_tokenizer, mask_tokens
+
+
+# ---------------------------------------------------------- process workers
+# Thread workers scale the GIL-releasing legs (PIL decode, the native C++
+# decoder) but serialize the pure-Python glue — BPE tokenization, EDA, the
+# sample dict assembly. On a real TPU host feeding 4-8 chips that glue
+# becomes the ceiling. ``worker_type: process`` moves whole-batch building
+# into spawned worker processes: each worker REBUILDS the dataset from the
+# config (hermetic — no pickling of live file handles / HTTP sessions),
+# and batches come back as numpy arrays through the executor pipe. The
+# deterministic keying (seed, global batch index) is identical in both
+# modes, so resume/replay semantics do not depend on worker_type.
+# 'spawn' (not fork) is mandatory: the parent holds live XLA runtime
+# threads which fork() would duplicate in a corrupt state; the data layer
+# itself never imports jax, so spawned workers stay backend-free.
+
+_PROC_LOADER: Optional["ClipDataLoader"] = None
+
+
+def _proc_init(spec: Dict[str, Any]) -> None:
+    global _PROC_LOADER
+    dataset = build_clip_dataset(
+        spec["split_cfg"], world_size=spec["world_size"], rank=spec["rank"],
+        transform=spec.get("transform"))
+    _PROC_LOADER = ClipDataLoader(
+        dataset, sampler=None, batch_size=spec["batch_size"],
+        eda=spec["eda"], text_mask_type=spec["text_mask_type"],
+        mlm_probability=spec["mlm_probability"], seed=spec["seed"],
+        keep_raw=spec["keep_raw"], num_workers=1)
+
+
+def _proc_build(indices: Sequence[int], batch_idx: int) -> Dict[str, Any]:
+    return _PROC_LOADER._build_batch(indices, batch_idx)
 
 
 class ClipDataLoader:
@@ -54,6 +91,8 @@ class ClipDataLoader:
         start_batch_idx: int = 0,
         drop_last: bool = True,
         keep_raw: bool = False,
+        worker_type: str = "thread",
+        proc_spec: Optional[Dict[str, Any]] = None,
     ):
         self.dataset = dataset
         self.sampler = sampler
@@ -69,6 +108,16 @@ class ClipDataLoader:
         self.start_batch_idx = start_batch_idx
         self.drop_last = drop_last
         self.keep_raw = keep_raw
+        if worker_type not in ("thread", "process"):
+            raise ValueError(f"worker_type {worker_type!r} — thread|process")
+        if worker_type == "process" and proc_spec is None:
+            raise ValueError(
+                "worker_type 'process' needs a proc_spec (a config the "
+                "workers can rebuild the dataset from) — use "
+                "build_clip_dataloader, or pass worker_type 'thread' for a "
+                "directly-constructed dataset object")
+        self.worker_type = worker_type
+        self.proc_spec = proc_spec
 
     def __len__(self) -> int:
         n = len(self.sampler)
@@ -141,20 +190,31 @@ class ClipDataLoader:
                 yield i, chunk
                 i += 1
 
-        with ThreadPoolExecutor(self.num_workers) as pool:
+        if self.worker_type == "process":
+            import multiprocessing
+
+            pool_cm = ProcessPoolExecutor(
+                self.num_workers,
+                mp_context=multiprocessing.get_context("spawn"),
+                initializer=_proc_init, initargs=(self.proc_spec,))
+            build = _proc_build
+        else:
+            pool_cm = ThreadPoolExecutor(self.num_workers)
+            build = self._build_batch
+        with pool_cm as pool:
             inflight: deque = deque()
             gen = batches_of_indices()
             try:
                 for _ in range(self.num_workers + self.prefetch):
                     i, chunk = next(gen)
-                    inflight.append(pool.submit(self._build_batch, chunk, i))
+                    inflight.append(pool.submit(build, chunk, i))
             except StopIteration:
                 pass
             while inflight:
                 out = inflight.popleft().result()
                 try:
                     i, chunk = next(gen)
-                    inflight.append(pool.submit(self._build_batch, chunk, i))
+                    inflight.append(pool.submit(build, chunk, i))
                 except StopIteration:
                     pass
                 yield out
@@ -291,6 +351,24 @@ def build_clip_dataloader(split_cfg: Dict, *, world_size: int = 1,
     sampler = build_sampler(
         split_cfg, len(dataset), world_size=world_size, rank=rank,
         last_iter=last_iter, total_iter=total_iter)
+    worker_type = str(split_cfg.get("worker_type", "thread"))
+    proc_spec = None
+    if worker_type == "process":
+        # workers rebuild the dataset hermetically from this spec (even
+        # when a pre-built ``dataset`` was passed for sampler sizing / the
+        # Solver's resume rebuilds) — everything here must pickle: plain
+        # config plus the optional transform override (our transform
+        # classes are stateless PIL pipelines and pickle fine)
+        proc_spec = dict(
+            split_cfg=dict(split_cfg), world_size=world_size, rank=rank,
+            transform=transform,
+            batch_size=int(split_cfg["batch_size"]),
+            eda=bool(split_cfg.get("eda", False)),
+            text_mask_type=split_cfg.get("text_mask_type"),
+            mlm_probability=float(split_cfg.get("mlm_probability", 0.15)),
+            seed=int(split_cfg.get("seed", 0)),
+            keep_raw=keep_raw,
+        )
     return ClipDataLoader(
         dataset,
         sampler,
@@ -301,4 +379,6 @@ def build_clip_dataloader(split_cfg: Dict, *, world_size: int = 1,
         seed=int(split_cfg.get("seed", 0)),
         start_batch_idx=last_iter + 1,
         keep_raw=keep_raw,
+        worker_type=worker_type,
+        proc_spec=proc_spec,
     )
