@@ -172,3 +172,85 @@ def test_multislice_ring_step_matches_flat_dp(setup):
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-5),
         flat_state.params, ms_state.params)
+
+
+def test_multislice_fsdp_composition(setup):
+    """slices + fsdp: ZeRO-3 shards stay on the intra-slice 'data' axis
+    (replicated over 'dcn' — weight gathers ride ICI, never DCN) and the
+    step reproduces flat-DP losses."""
+    from declip_tpu.parallel.fsdp import shard_train_state
+    from declip_tpu.parallel.tp import (
+        clear_activation_sharding,
+        set_activation_sharding,
+    )
+
+    model, batch, variables = setup
+    flat_state, flat_m = _run_one_step(make_mesh(), model, batch, variables)
+
+    mesh = make_mesh(slices=2)
+    try:
+        set_activation_sharding(mesh, data_axis=("dcn", "data"),
+                                model_axis=None)
+        cfg = parse_config("{}")
+        params = variables["params"]
+        sched = scheduler_entry(
+            {"type": "Cosine", "kwargs": {"base_lr": 0.0, "warmup_lr": 1e-3,
+                                          "warmup_steps": 2}}, max_iter=10)
+        tx = optim_entry({"type": "AdamW", "kwargs": {"lr": 1e-3}}, params,
+                         sched)
+        state = new_train_state(params=params, batch_stats={},
+                                opt_state=tx.init(params))
+        state = shard_train_state(mesh, state, min_size=256)
+        sharded = [leaf for leaf in jax.tree.leaves(state.params)
+                   if not leaf.sharding.is_fully_replicated]
+        assert sharded, "FSDP sharded no leaf on the hybrid mesh"
+        for leaf in sharded:
+            # 4-way 'data' shards only: 1/4 per device, never 1/8
+            assert leaf.addressable_shards[0].data.size == leaf.size // 4
+        b = {k: jax.device_put(v, batch_sharding(mesh))
+             for k, v in batch.items()}
+        step = jax.jit(make_train_step(model, tx, cfg, sched, mesh=mesh))
+        with mesh:
+            state, metrics = step(state, b)
+        assert float(metrics["loss"]) == pytest.approx(
+            flat_m["loss"], rel=2e-5)
+    finally:
+        clear_activation_sharding()
+
+
+def test_multislice_tp_composition(setup):
+    """slices + tp: a [dcn=2, data=2, model=2] mesh — Megatron shards over
+    'model', batch over (dcn, data); step reproduces flat-DP losses."""
+    from declip_tpu.parallel.tp import (
+        clear_activation_sharding,
+        set_activation_sharding,
+        shard_train_state_tp,
+    )
+
+    model, batch, variables = setup
+    flat_state, flat_m = _run_one_step(make_mesh(), model, batch, variables)
+
+    mesh = make_mesh(slices=2, tp=2)
+    try:
+        set_activation_sharding(mesh, data_axis=("dcn", "data"))
+        cfg = parse_config("{}")
+        params = variables["params"]
+        sched = scheduler_entry(
+            {"type": "Cosine", "kwargs": {"base_lr": 0.0, "warmup_lr": 1e-3,
+                                          "warmup_steps": 2}}, max_iter=10)
+        tx = optim_entry({"type": "AdamW", "kwargs": {"lr": 1e-3}}, params,
+                         sched)
+        state = new_train_state(params=params, batch_stats={},
+                                opt_state=tx.init(params))
+        state = shard_train_state_tp(mesh, state)
+        assert any(not leaf.sharding.is_fully_replicated
+                   for leaf in jax.tree.leaves(state.params))
+        b = {k: jax.device_put(v, batch_sharding(mesh))
+             for k, v in batch.items()}
+        step = jax.jit(make_train_step(model, tx, cfg, sched, mesh=mesh))
+        with mesh:
+            state, metrics = step(state, b)
+        assert float(metrics["loss"]) == pytest.approx(
+            flat_m["loss"], rel=2e-5)
+    finally:
+        clear_activation_sharding()
