@@ -629,6 +629,70 @@ DEFAULT_REMAT_POLICY = {"clip_vitb32": "dots", "clip_vitb16": "dots",
                         "defilip_vitb32": "dots"}
 
 
+def _bench_values(line: dict) -> dict:
+    """model -> pairs/s from a driver-mode bench line (headline + extras)."""
+    vals = {}
+    if line.get("unit") == "pairs/s/chip":
+        vals["declip_res50"] = float(line["value"])
+    for name, leg in (line.get("extra") or {}).items():
+        if isinstance(leg, dict) and leg.get("unit") == "pairs/s/chip":
+            vals[name] = float(leg["value"])
+    return vals
+
+
+def load_previous_bench(repo_dir: str = None) -> dict:
+    """Parsed line of the newest ``BENCH_r*.json`` the driver recorded."""
+    import glob
+    import os.path as osp
+
+    repo_dir = repo_dir or osp.dirname(osp.abspath(__file__))
+    for path in sorted(glob.glob(osp.join(repo_dir, "BENCH_r*.json")),
+                       reverse=True):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+            line = rec.get("parsed")
+            if not line:  # fall back to the last JSON line of the tail
+                line = json.loads(
+                    [ln for ln in rec.get("tail", "").splitlines()
+                     if ln.startswith("{")][-1])
+            if _bench_values(line):
+                return {"path": osp.basename(path), "line": line}
+        except Exception:  # noqa: BLE001 — a malformed record is skippable
+            continue
+    return {}
+
+
+def check_regression(out: dict, prev_line: dict = None,
+                     threshold: float = 0.02) -> dict:
+    """Throughput-regression gate (VERDICT r4 #5).
+
+    Compares this run's per-model pairs/s against the previous round's
+    BENCH_r*.json and annotates ``out`` with a ``regression`` block when
+    any model drops more than ``threshold`` (default 2%). The bench line
+    still prints (the driver must record the artifact either way) — the
+    flag is the signal, and main() mirrors it to stderr."""
+    if prev_line is None:
+        prev = load_previous_bench()
+        if not prev:
+            return {}
+        prev_line, src = prev["line"], prev["path"]
+    else:
+        src = "explicit"
+    cur, old = _bench_values(out), _bench_values(prev_line)
+    drops = {}
+    for name, prev_pairs in old.items():
+        if name in cur and prev_pairs > 0:
+            drop = 1.0 - cur[name] / prev_pairs
+            if drop > threshold:
+                drops[name] = {"prev": prev_pairs, "now": cur[name],
+                               "drop_pct": round(100 * drop, 2)}
+    if drops:
+        out["regression"] = {"vs": src, "threshold_pct": 100 * threshold,
+                             "models": drops}
+    return drops
+
+
 def _line(model: str, pairs: float, suffix: str = "", perf=None) -> dict:
     out = {
         "metric": f"image-text pairs/sec/chip ({LABELS[model]} train, "
@@ -793,6 +857,12 @@ def main():
         mlm_positions, args.scan_unroll)
     out = _line("declip_res50", declip_pairs, suffix, declip_perf)
     out["extra"] = extra
+    drops = check_regression(out)
+    if drops:
+        import sys
+
+        print(f"REGRESSION (> {2}% pairs/s drop vs previous round): "
+              f"{drops}", file=sys.stderr)
     print(json.dumps(out))
 
 

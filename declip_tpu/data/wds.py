@@ -309,6 +309,13 @@ class WdsClipDataset(ClipDataset):
         if m[6] >= 0:  # .cls
             meta["label"] = int(
                 self._read_member(si, int(m[6]), int(m[7])).decode().strip())
+        if not meta["caption"] and "label" in meta:
+            # eval-style shard: <key>.jpg + <key>.cls only. ClipDataset
+            # rejects empty captions ("bad caption" resample loop), so give
+            # labeled caption-less samples the same placeholder
+            # ImageNetDataset uses — zero-shot eval reads the label, not
+            # the caption.
+            meta["caption"] = "-"
         return meta
 
     def _load_image(self, idx: int, meta: Dict):

@@ -357,7 +357,13 @@ class Transformer(nn.Module):
                 "dots": jax.checkpoint_policies.dots_saveable,
                 "all": jax.checkpoint_policies.everything_saveable,
             }[self.remat_policy]
-            block = nn.remat(block, prevent_cse=False, policy=policy)
+            # same CSE hazard as the full-remat branch: under an unrolled
+            # scan the inlined bodies expose the recomputed elementwise
+            # chains to CSE, silently un-remat-ing them (pp.py applies the
+            # identical rule). Rolled scans keep prevent_cse=False — the
+            # loop structure already isolates the recompute and barriers
+            # would block XLA fusion inside the body.
+            block = nn.remat(block, prevent_cse=prevent_cse, policy=policy)
         scanned = nn.scan(
             block,
             variable_axes={"params": 0},

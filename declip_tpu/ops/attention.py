@@ -103,13 +103,17 @@ def _pallas_attention(q, k, v, causal: bool, scale: float) -> jax.Array:
     how the XLA path's activations are already laid out. Shapes that don't
     divide the mesh fall back to the XLA path (always correct)."""
     from declip_tpu.ops.flash_attention import flash_attention
-    from declip_tpu.parallel.tp import _ACT
+    from declip_tpu.parallel.tp import _ACT, in_manual_region
 
     mesh = _ACT["mesh"]
-    if mesh is None or mesh.devices.size == 1:
-        # single chip (bench, serving) or no installed context: bare kernel.
-        # No silent fallback: flash_attention itself switches to interpret
-        # mode off-TPU, so any exception here is a real kernel bug.
+    if mesh is None or mesh.devices.size == 1 or in_manual_region(q):
+        # single chip (bench, serving), no installed context, OR already
+        # inside a shard_map body (the pp.py pipeline schedule): the arrays
+        # are per-device local shards there and a nested shard_map over the
+        # same mesh errors at trace time — run the bare kernel on the local
+        # shard. No silent fallback: flash_attention itself switches to
+        # interpret mode off-TPU, so any exception here is a real kernel
+        # bug.
         return flash_attention(q, k, v, causal=causal, scale=scale)
     from jax.sharding import PartitionSpec as P
 

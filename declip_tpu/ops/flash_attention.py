@@ -130,6 +130,19 @@ def _flash(q, k, v, causal: bool, scale: float, interpret: bool):
     return _flash_fwd(q, k, v, causal, scale, interpret)[0]
 
 
+def _out_struct(shape, dtype, like):
+    """ShapeDtypeStruct matching ``like``'s manual-axes varying set.
+
+    Inside a ``check_vma=True`` shard_map body (the pp.py pipeline
+    schedule) pallas_call outputs must declare their vma or tracing
+    raises; outside one the vma set is empty and this is the plain
+    struct."""
+    vma = getattr(jax.typeof(like), "vma", None)
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
 def _flash_fwd(q, k, v, causal, scale, interpret):
     # q,k,v: [BH, L, Dh] unpadded
     bh, L, dh = q.shape
@@ -138,7 +151,7 @@ def _flash_fwd(q, k, v, causal, scale, interpret):
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, causal=causal,
                           valid_len=L),
-        out_shape=jax.ShapeDtypeStruct(qp.shape, q.dtype),
+        out_shape=_out_struct(qp.shape, q.dtype, qp),
         grid=(bh,),
         in_specs=[_specs(bh, Lp, dp)] * 3,
         out_specs=_specs(bh, Lp, dp),
@@ -155,7 +168,7 @@ def _flash_bwd(causal, scale, interpret, res, g):
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale, causal=causal,
                           valid_len=L),
-        out_shape=[jax.ShapeDtypeStruct(qp.shape, q.dtype)] * 3,
+        out_shape=[_out_struct(qp.shape, q.dtype, qp)] * 3,
         grid=(bh,),
         in_specs=[_specs(bh, Lp, dp)] * 4,
         out_specs=[_specs(bh, Lp, dp)] * 3,

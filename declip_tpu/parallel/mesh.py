@@ -37,7 +37,23 @@ def _slice_major(devices: np.ndarray, slices: int) -> np.ndarray:
         raise ValueError(
             f"{devices.size} devices not divisible by slices={slices}")
     idx = {getattr(d, "slice_index", None) for d in devs}
-    if len(idx) == slices and None not in idx:
+    if None not in idx:
+        # real multi-slice hardware: the 'dcn' axis MUST align with the
+        # physical slice boundaries, otherwise 'data'-axis collectives
+        # silently ride DCN (a large perf cliff, not an error XLA reports).
+        # Refuse any request that cannot partition devices slice-major into
+        # `slices` equal groups.
+        counts: dict = {}
+        for d in devs:
+            counts[d.slice_index] = counts.get(d.slice_index, 0) + 1
+        per = devices.size // slices
+        if len(idx) != slices or any(c != per for c in counts.values()):
+            raise ValueError(
+                f"parallelism: slices={slices} does not match the physical "
+                f"topology: devices span {len(idx)} slice_index group(s) "
+                f"with sizes {sorted(counts.values())} (need {slices} "
+                f"groups of {per}). A 'dcn' axis cutting across slice "
+                "boundaries would put 'data' collectives on DCN.")
         devs = sorted(devs, key=lambda d: (d.slice_index, d.id))
     return np.asarray(devs)
 

@@ -176,11 +176,17 @@ def pipeline_transformer(
     param_specs = jax.tree.map(lambda _: P(PIPE_AXIS), stacked_params)
     # batch over the data axes, replicated over 'pipe'
     x_spec = P(data_axes if data_axes else None)
+    # check_vma=False: matches the repo's other shard_maps (ops/attention,
+    # ops/contrastive). Beyond consistency it is load-bearing — vma
+    # tracking trips a JAX-internal lowering-cache KeyError when an
+    # interpret-mode pallas_call (the CPU-test flash-attention path) runs
+    # inside the body.
     return shard_map(
         body,
         mesh=mesh,
         in_specs=(param_specs, x_spec),
         out_specs=x_spec,
+        check_vma=False,
     )(stacked_params, x)
 
 

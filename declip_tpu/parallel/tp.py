@@ -281,6 +281,31 @@ def clear_activation_sharding() -> None:
     _ACT.update(mesh=None, data=None, model=None, seq=None, expert=None)
 
 
+def in_manual_region(x=None) -> bool:
+    """True while tracing inside a ``shard_map`` body (manual mesh axes).
+
+    In a manual region arrays are already per-device local shards:
+    ``with_sharding_constraint`` raises ("vma axes should be Manual") and a
+    nested ``shard_map`` over the same mesh errors at trace time. The
+    pipeline schedule (parallel/pp.py) is such a region — ``constrain`` and
+    the Pallas attention dispatch must degrade to local-shard behavior
+    there. Primary probe: the active abstract mesh's manual axes (works
+    under ``check_vma=False`` bodies too); fallback: the aval's vma set."""
+    try:
+        from jax._src import mesh as _mesh_lib  # no public accessor yet
+
+        if getattr(_mesh_lib.get_abstract_mesh(), "manual_axes", ()):
+            return True
+    except Exception:
+        pass
+    if x is not None:
+        try:
+            return bool(jax.typeof(x).vma)
+        except Exception:
+            return False
+    return False
+
+
 def constrain(x, *axes):
     """``with_sharding_constraint`` by logical axis names.
 
@@ -288,9 +313,12 @@ def constrain(x, *axes):
     Returns x unchanged when no context is installed; a named dimension
     that does not divide over its mesh axis (tiny test models, the
     77-token text stream under sp) degrades to replicated PER AXIS — the
-    other dimensions keep their pins."""
+    other dimensions keep their pins. Inside a shard_map body (the GPipe
+    pipeline schedule) constraints no-op: the shards are already local."""
     mesh = _ACT["mesh"]
     if mesh is None:
+        return x
+    if in_manual_region(x):
         return x
     da, ma = _ACT["data"], _ACT["model"]
     name_of = {

@@ -20,6 +20,11 @@ if "collective_call_terminate_timeout" not in flags:
               " --xla_cpu_collective_call_terminate_timeout_seconds=3600")
 os.environ["XLA_FLAGS"] = flags
 
+# keep the optional tensorboard sink out of the suite by default (writer
+# threads + a ~10s tensorboardX import tax on the 1-vCPU hosts); the sink
+# has its own opt-in test (test_aux_components.test_scalar_writer_tb_sink)
+os.environ.setdefault("DECLIP_TB", "0")
+
 import jax  # noqa: E402
 
 # The axon sitecustomize pre-registers the TPU backend in every process and

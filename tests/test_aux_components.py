@@ -192,3 +192,40 @@ def test_solver_cli_aliases_importable():
     for m in ("clip", "slip", "filip", "declip", "defilip"):
         mod = importlib.import_module(f"declip_tpu.solver.{m}_solver")
         assert hasattr(mod, "main")
+
+
+def test_scalar_writer_tb_sink(tmp_path, monkeypatch):
+    """ScalarWriter: JSONL always; tensorboard event files alongside when
+    tensorboardX/torch-TB is importable (reference surface,
+    clip_solver.py:119-120), with the reference's tag names; DECLIP_TB=0
+    disables the TB sink."""
+    import glob
+    import json as _json
+
+    from declip_tpu.utils.logging import ScalarWriter
+
+    monkeypatch.setenv("DECLIP_TB", "1")  # conftest default-disables it
+    d = tmp_path / "events"
+    w = ScalarWriter(str(d))
+    w.add_scalar("loss", 1.5, 0)
+    w.add_scalar("lr", 0.1, 0)
+    w.flush()
+    w.close()
+    rows = [_json.loads(ln) for ln in
+            (d / "scalars.jsonl").read_text().splitlines()]
+    assert {r["tag"] for r in rows} == {"loss", "lr"}
+    has_tb = ScalarWriter._make_tb(str(tmp_path / "probe")) is not None
+    events = glob.glob(str(d / "events.out.tfevents.*"))
+    if has_tb:
+        assert events and os.path.getsize(events[0]) > 0
+        # reference tag aliasing: 'loss' lands in TB as 'loss_train'
+        blob = b"".join(open(p, "rb").read() for p in events)
+        assert b"loss_train" in blob and b"lr" in blob
+
+    monkeypatch.setenv("DECLIP_TB", "0")
+    d2 = tmp_path / "events2"
+    w2 = ScalarWriter(str(d2))
+    w2.add_scalar("loss", 1.0, 1)
+    w2.close()
+    assert not glob.glob(str(d2 / "events.out.tfevents.*"))
+    assert (d2 / "scalars.jsonl").exists()

@@ -254,3 +254,41 @@ def test_multislice_tp_composition(setup):
             flat_m["loss"], rel=2e-5)
     finally:
         clear_activation_sharding()
+
+
+def test_slice_major_rejects_topology_mismatch():
+    """Devices carrying slice_index that cannot partition into `slices`
+    equal groups must raise — a 'dcn' axis cutting across real slice
+    boundaries would silently put 'data' collectives on DCN."""
+    import numpy as np
+    import pytest
+
+    from declip_tpu.parallel.mesh import _slice_major
+
+    class _Dev:
+        def __init__(self, i, s):
+            self.id, self.slice_index = i, s
+
+        def __repr__(self):
+            return f"d{self.id}s{self.slice_index}"
+
+    # 4 physical slices of 2, asked for slices=2 -> refuse
+    devs = np.array([_Dev(i, i // 2) for i in range(8)])
+    with pytest.raises(ValueError, match="slice_index"):
+        _slice_major(devs, 2)
+    # uneven groups (3+5) at slices=2 -> refuse
+    devs = np.array([_Dev(i, 0 if i < 3 else 1) for i in range(8)])
+    with pytest.raises(ValueError, match="slice_index"):
+        _slice_major(devs, 2)
+    # matching topology: sorted slice-major
+    devs = np.array([_Dev(i, i % 2) for i in range(8)])
+    out = _slice_major(devs, 2)
+    assert [d.slice_index for d in out] == [0] * 4 + [1] * 4
+    # no slice_index (CPU test meshes): keep given order
+    class _Plain:
+        def __init__(self, i):
+            self.id = i
+
+    devs = np.array([_Plain(i) for i in range(8)])
+    out = _slice_major(devs, 2)
+    assert [d.id for d in out] == list(range(8))

@@ -283,3 +283,20 @@ def test_make_wds_roundtrip(tmp_path):
     # image bytes copied verbatim: decoded pixels match the source file
     src = np.asarray(Image.open(img_dir / "img_3.jpg"))
     np.testing.assert_array_equal(np.asarray(ds[3]["image"]), src)
+
+
+def test_cls_only_shard(tmp_path):
+    """Eval-style labeled shards (<key>.jpg + <key>.cls, NO caption) must be
+    servable: the caption-less labeled sample gets the '-' placeholder
+    (same convention as ImageNetDataset) instead of tripping ClipDataset's
+    bad-caption resample loop."""
+    s = tmp_path / "eval-0000.tar"
+    _write_shard(s, [
+        ("e/0", {"jpg": _jpeg_bytes((255, 0, 0)), "cls": b"0"}),
+        ("e/1", {"jpg": _jpeg_bytes((0, 255, 0)), "cls": b"1"}),
+    ])
+    ds = WdsClipDataset([str(s)], transform=None)
+    assert len(ds) == 2
+    a, b = ds[0], ds[1]
+    assert a["label"] == 0 and b["label"] == 1
+    assert a["caption"] == "-" and b["caption"] == "-"
