@@ -492,6 +492,114 @@ def run_e2e(per_chip_batch: int, steps: int = 30, workers: int = 16,
     return b * n_timed / dt / n_chips
 
 
+VIEWS_PER_PAIR = {"clip_vitb32": 1, "clip_vitb16": 1, "clip_vitl14": 1,
+                  "clip_vitl14_336": 1, "declip_res50": 2,
+                  "declip_vitb32": 2, "slip_vitb32": 3, "filip_vitb32": 1,
+                  "defilip_vitb32": 2}
+
+
+def run_input_bench(n_images: int = 1024, batch: int = 128,
+                    workers: int = 0, steps: int = 20,
+                    src_size=(512, 384)) -> dict:
+    """Composed production input path, measured on THIS host — no device.
+
+    The full DALI role (nvidia_dali_dataloader.py:9-179) as one pipeline:
+    webdataset tar shards (data/wds.py) -> process workers
+    (worker_type: process) -> native C++ JPEG decode with DCT prescale
+    (native/fastload.cc) -> geometry-only crops (the on-device-augmentation
+    split). Reports images/s plus a margin table against each model's
+    measured chip consumption rate (pairs/s from the newest BENCH_r*.json
+    x views/pair), i.e. "how many of THESE cores feed one chip"."""
+    import io
+    import shutil
+    import tarfile
+    import tempfile
+
+    from PIL import Image
+
+    from declip_tpu.data.dataloader import build_clip_dataloader
+    from declip_tpu.data.native import available as native_available
+    from declip_tpu.data.transforms import build_geometry_augmentation
+
+    workers = workers or (os.cpu_count() or 1)
+    tmp = tempfile.mkdtemp(prefix="declip_input_bench_")
+    try:
+        rng = np.random.default_rng(0)
+        blobs = []
+        for _ in range(8):
+            arr = (rng.normal(0.5, 0.25,
+                              size=(src_size[1], src_size[0], 3))
+                   .clip(0, 1) * 255).astype(np.uint8)
+            buf = io.BytesIO()
+            Image.fromarray(arr).save(buf, format="JPEG", quality=90)
+            blobs.append(buf.getvalue())
+        n_shards = 4
+        per = n_images // n_shards
+        shards = []
+        cap = b"a synthetic photo used by the input-path benchmark"
+        for s in range(n_shards):
+            path = os.path.join(tmp, f"shard-{s:04d}.tar")
+            with tarfile.open(path, "w") as tf:
+                for j in range(per):
+                    key = f"{s:03d}/{j:06d}"
+                    data = blobs[(s * per + j) % len(blobs)]
+                    for name, payload in ((key + ".jpg", data),
+                                          (key + ".txt", cap)):
+                        ti = tarfile.TarInfo(name)
+                        ti.size = len(payload)
+                        tf.addfile(ti, io.BytesIO(payload))
+            shards.append(path)
+
+        warmup = 3
+        loader = build_clip_dataloader(
+            {
+                "type": "clip_wds",
+                "tar_files": shards,
+                "batch_size": batch,
+                "num_workers": workers,
+                "worker_type": "process",
+                "image_reader": {"type": "native", "min_side": 256},
+                "sampler": {"type": "distributed_iteration"},
+                "max_iter": steps + warmup,
+            },
+            transform=build_geometry_augmentation("STANDARD_CLIP"),
+        )
+        t0 = None
+        n_timed = 0
+        for i, b in enumerate(loader):
+            assert b["images"].dtype == np.uint8 and b["tokens"].shape[1]
+            if i + 1 == warmup:
+                t0 = time.perf_counter()
+            elif t0 is not None:
+                n_timed += 1
+        dt = time.perf_counter() - t0
+        img_per_s = batch * n_timed / dt
+        out = {
+            "img_per_s": round(img_per_s, 1),
+            "workers": workers,
+            "img_per_s_per_worker": round(img_per_s / workers, 1),
+            "native_decode": native_available(),
+            "batch": batch,
+            "host_cpus": os.cpu_count(),
+        }
+        # margin table vs measured chip consumption rates
+        prev = load_previous_bench()
+        if prev:
+            margins = {}
+            for model, pairs in _bench_values(prev["line"]).items():
+                need = pairs * VIEWS_PER_PAIR.get(model, 1)
+                margins[model] = {
+                    "chip_img_per_s": round(need, 1),
+                    "margin_x": round(img_per_s / need, 3),
+                    "workers_for_1x": int(np.ceil(
+                        need / max(img_per_s / workers, 1e-9))),
+                }
+            out["vs_chip"] = {"from": prev["path"], "models": margins}
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def run_batch_sweep(sizes=None, dim: int = 1024, chunk: int = 4096):
     """Global-batch sweep of the contrastive loss+grad (full vs chunked).
 
@@ -735,6 +843,12 @@ def main():
                          "(full vs chunked) up to the full impl's OOM wall")
     ap.add_argument("--decode-bench", action="store_true",
                     help="host JPEG decode throughput (native C++ vs PIL)")
+    ap.add_argument("--input-bench", action="store_true",
+                    help="composed production input path on the host: wds "
+                         "tar shards -> process workers -> native decode -> "
+                         "geometry crops, images/s + margin vs chip rates")
+    ap.add_argument("--workers", type=int, default=0,
+                    help="--input-bench worker count (default: host cpus)")
     ap.add_argument("--grad-cache", type=int, default=0, metavar="M",
                     help="GradCache chunked step: exact full-batch grads "
                          "at 1/M activation memory (ViT models only)")
@@ -760,6 +874,19 @@ def main():
                          "(measured slower on v5e; see README)")
     args = ap.parse_args()
     mlm_positions = 0 if args.mlm_full else 24
+
+    if args.input_bench:
+        res = run_input_bench(workers=args.workers,
+                              batch=args.batch or 128)
+        print(json.dumps({
+            "metric": "host input pipeline (wds shards -> process workers "
+                      "-> native decode -> geometry crops)",
+            "value": res["img_per_s"],
+            "unit": "img/s",
+            "vs_baseline": 1.0,
+            "extra": res,
+        }))
+        return
 
     if args.decode_bench:
         res = run_decode_bench()

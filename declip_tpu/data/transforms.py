@@ -21,6 +21,25 @@ from typing import Callable, List, Optional, Sequence, Tuple
 import numpy as np
 from PIL import Image, ImageEnhance, ImageFilter
 
+
+class _ModuleRng:
+    """Picklable stand-in for the ``random`` module.
+
+    Transforms default their rng to the module-global stream; storing the
+    module object itself makes the transform unpicklable, which breaks
+    explicit ``transform=`` overrides (the device-aug geometry path) under
+    ``worker_type: process`` loader workers. This delegates every call to
+    the module and pickles as a fresh delegate."""
+
+    def __getattr__(self, name):
+        return getattr(random, name)
+
+    def __reduce__(self):
+        return (_ModuleRng, ())
+
+
+_MODULE_RNG = _ModuleRng()
+
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
@@ -50,7 +69,7 @@ class RandomResizedCrop:
         self.size = size
         self.scale = scale
         self.ratio = ratio
-        self.rng = rng or random
+        self.rng = rng or _MODULE_RNG
 
     def __call__(self, img: Image.Image) -> Image.Image:
         w, h = img.size
@@ -87,7 +106,7 @@ class RandomCropMinSize:
 
     def __init__(self, size: int, rng: Optional[random.Random] = None):
         self.size = size
-        self.rng = rng or random
+        self.rng = rng or _MODULE_RNG
 
     def __call__(self, img: Image.Image) -> Image.Image:
         w, h = img.size
@@ -129,7 +148,7 @@ class CenterCrop:
 class RandomHorizontalFlip:
     def __init__(self, p=0.5, rng: Optional[random.Random] = None):
         self.p = p
-        self.rng = rng or random
+        self.rng = rng or _MODULE_RNG
 
     def __call__(self, img: Image.Image) -> Image.Image:
         if self.rng.random() < self.p:
@@ -143,7 +162,7 @@ class ColorJitter:
     def __init__(self, brightness=0, contrast=0, saturation=0, hue=0,
                  rng: Optional[random.Random] = None):
         self.b, self.c, self.s, self.h = brightness, contrast, saturation, hue
-        self.rng = rng or random
+        self.rng = rng or _MODULE_RNG
 
     def __call__(self, img: Image.Image) -> Image.Image:
         ops = []
@@ -176,7 +195,7 @@ class RandomApply:
     def __init__(self, op, p: float, rng: Optional[random.Random] = None):
         self.op = op
         self.p = p
-        self.rng = rng or random
+        self.rng = rng or _MODULE_RNG
 
     def __call__(self, img):
         return self.op(img) if self.rng.random() < self.p else img
@@ -185,7 +204,7 @@ class RandomApply:
 class RandomGrayscale:
     def __init__(self, p=0.2, rng: Optional[random.Random] = None):
         self.p = p
-        self.rng = rng or random
+        self.rng = rng or _MODULE_RNG
 
     def __call__(self, img: Image.Image) -> Image.Image:
         if self.rng.random() < self.p:
@@ -198,7 +217,7 @@ class GaussianBlur:
 
     def __init__(self, sigma=(0.1, 2.0), rng: Optional[random.Random] = None):
         self.sigma = sigma
-        self.rng = rng or random
+        self.rng = rng or _MODULE_RNG
 
     def __call__(self, img: Image.Image) -> Image.Image:
         s = self.rng.uniform(*self.sigma)
@@ -216,7 +235,7 @@ class Cutout:
         self.n_holes = n_holes
         self.length = length
         self.prob = prob
-        self.rng = rng or random
+        self.rng = rng or _MODULE_RNG
 
     def __call__(self, arr: np.ndarray) -> np.ndarray:
         if self.rng.random() >= self.prob:
@@ -265,27 +284,38 @@ class GeometryCrop:
         return np.asarray(self.crop(img), np.uint8)
 
 
+class GeometryUint8:
+    """Compose stages -> uint8 array. A named class (not a closure) so the
+    transform pickles into ``worker_type: process`` loader workers."""
+
+    def __init__(self, *stages):
+        self.stages = stages
+
+    def __call__(self, img):
+        for s in self.stages:
+            img = s(img)
+        return np.asarray(img, np.uint8)
+
+
 def build_geometry_augmentation(
     aug_type: str, rng: Optional[random.Random] = None
 ) -> Transform:
     """uint8 multi-view geometry for device-side augmentation. Crop scales
     mirror the named presets; photometric params live in device_aug."""
-    rng = rng or random
+    rng = rng or _MODULE_RNG
     if aug_type in ("MOCOV2", "SIMCLR", "SIMSIAM"):
         g = GeometryCrop(224, (0.2, 1.0), rng)
         return MultiView([g, g])
     if aug_type == "STANDARD_CLIP":
-        crop = RandomCropMinSize(224, rng=rng)
-        return lambda img: np.asarray(crop(img), np.uint8)
+        return GeometryUint8(RandomCropMinSize(224, rng=rng))
     if aug_type == "SLIP":
         base = GeometryCrop(224, (0.5, 1.0), rng)
         strong = GeometryCrop(224, (0.2, 1.0), rng)
         return MultiView([base, strong, strong])
     if aug_type.startswith("ONECROP"):
         size = int(aug_type[7:] or 224)
-        resize = Resize(256 if size <= 256 else size)
-        crop = CenterCrop(size)
-        return lambda img: np.asarray(crop(resize(img)), np.uint8)
+        return GeometryUint8(Resize(256 if size <= 256 else size),
+                             CenterCrop(size))
     raise KeyError(f"no geometry variant for {aug_type!r}")
 
 
@@ -294,7 +324,7 @@ def build_common_augmentation(
 ) -> Transform:
     """Named pipelines, parameter-for-parameter with the reference
     (imagenet_dataloader.py:14-150)."""
-    rng = rng or random
+    rng = rng or _MODULE_RNG
     if aug_type in ("STANDARD", "STANDARD256", "LINEAR"):
         size = 256 if aug_type.endswith("256") else 224
         ops = [
@@ -424,7 +454,7 @@ class ToGrayscale:
 class RandomVerticalFlip:
     def __init__(self, p=0.5, rng: Optional[random.Random] = None):
         self.p = p
-        self.rng = rng or random
+        self.rng = rng or _MODULE_RNG
 
     def __call__(self, img: Image.Image) -> Image.Image:
         if self.rng.random() < self.p:
@@ -436,7 +466,7 @@ class RandomRotation:
     def __init__(self, degrees, rng: Optional[random.Random] = None):
         self.degrees = ((-degrees, degrees)
                         if np.isscalar(degrees) else tuple(degrees))
-        self.rng = rng or random
+        self.rng = rng or _MODULE_RNG
 
     def __call__(self, img: Image.Image) -> Image.Image:
         return img.rotate(self.rng.uniform(*self.degrees))
@@ -449,7 +479,7 @@ class RandomOrientationRotation:
     def __init__(self, angles: Sequence[float] = (0, 90, 180, 270),
                  rng: Optional[random.Random] = None):
         self.angles = list(angles)
-        self.rng = rng or random
+        self.rng = rng or _MODULE_RNG
 
     def __call__(self, img: Image.Image) -> Image.Image:
         return img.rotate(self.rng.choice(self.angles))

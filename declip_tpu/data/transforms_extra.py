@@ -14,6 +14,8 @@ from typing import Callable, List, Optional, Sequence, Tuple
 import numpy as np
 from PIL import Image, ImageEnhance, ImageOps
 
+from declip_tpu.data.transforms import _MODULE_RNG
+
 # ---------------------------------------------------------------------------
 # atomic ops, each taking (img, magnitude) with magnitude in [0, 9]
 # ---------------------------------------------------------------------------
@@ -101,7 +103,7 @@ class ImageNetPolicy:
     """AutoAugment ImageNet policy (auto_augmentation.py:49)."""
 
     def __init__(self, rng: Optional[random.Random] = None):
-        self.rng = rng or random
+        self.rng = rng or _MODULE_RNG
 
     def __call__(self, img: Image.Image) -> Image.Image:
         p1, p2 = self.rng.choice(IMAGENET_POLICY)
@@ -117,7 +119,7 @@ class CLSAAug:
     def __init__(self, num_of_times: int = 5,
                  rng: Optional[random.Random] = None):
         self.n = num_of_times
-        self.rng = rng or random
+        self.rng = rng or _MODULE_RNG
         self.names: List[str] = list(OPS)
 
     def __call__(self, img: Image.Image) -> Image.Image:

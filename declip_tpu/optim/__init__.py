@@ -220,3 +220,22 @@ def optim_entry(
         # move frozen params (JAX analogue of requires_grad=False)
         tx = optax.chain(tx, optax.masked(optax.set_to_zero(), frozen_mask))
     return tx
+
+
+def fast_forward_schedule(opt_state, step):
+    """Set every ``ScaleByScheduleState.count`` in ``opt_state`` to ``step``.
+
+    Used by the reference-exact rollback mode (declip_solver.py:600-607):
+    the reference rebuilds a FRESH optimizer after a crash (Adam moments
+    zeroed, bias correction restarted) but keeps evaluating its rebuilt
+    scheduler at the current step — in optax the schedule count lives
+    inside the opt_state, so a fresh ``tx.init`` would silently replay the
+    LR warmup from 0 unless fast-forwarded. Adam's own ``count`` (bias
+    correction) is deliberately NOT touched: the reference restarts it."""
+    is_sched = lambda s: isinstance(s, optax.ScaleByScheduleState)  # noqa: E731
+    return jax.tree.map(
+        lambda s: optax.ScaleByScheduleState(
+            count=jnp.asarray(step, jnp.int32)) if is_sched(s) else s,
+        opt_state,
+        is_leaf=is_sched,
+    )

@@ -757,12 +757,22 @@ class Solver:
         self.schedule = scheduler_entry(scfg, max_iter=self.max_iter)
         template = jax.device_get(self.state)
         state = restore_checkpoint(target[1], template)
-        # keep the restored opt_state: it belongs to the good checkpoint
-        # (moments healthy) and carries the schedule count for that step.
-        # Re-initializing would silently replay the LR schedule from 0.
-        # (Delta vs reference, which reloads only model state and therefore
-        # must rebuild its optimizer, declip_solver.py:548-619.)
+        # Default: keep the restored opt_state — it belongs to the good
+        # checkpoint (moments healthy) and carries the schedule count for
+        # that step. Re-initializing would silently replay the LR schedule
+        # from 0. (Delta vs reference, which reloads only model state and
+        # therefore must rebuild its optimizer, declip_solver.py:548-619.)
         self.tx = self._make_tx(state.params)
+        if bool(self.config.get_path("saver.rollback_reset_opt", False)):
+            # reference-exact mode (declip_solver.py:600-607): fresh
+            # optimizer — Adam moments zeroed, bias correction restarted —
+            # with the rebuilt schedule still evaluated at the restored
+            # step (see optim.fast_forward_schedule). Parity-tested against
+            # the reference loop in tests/test_rollback_parity.py.
+            from declip_tpu.optim import fast_forward_schedule
+
+            state = state.replace(opt_state=fast_forward_schedule(
+                self.tx.init(state.params), int(state.step)))
         self.state = self._place_state(state)
         self.build_step()
         return True

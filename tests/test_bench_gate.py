@@ -69,3 +69,35 @@ def test_loads_previous_round_artifact():
     assert prev, "no BENCH_r*.json found in repo root"
     vals = bench._bench_values(prev["line"])
     assert vals.get("declip_res50", 0) > 0
+
+
+def test_input_bench_smoke():
+    """Composed input path (VERDICT r4 #3): wds shards -> process workers ->
+    native decode -> geometry crops runs end-to-end and reports a margin
+    table against the recorded chip rates."""
+    out = bench.run_input_bench(n_images=64, batch=16, workers=2, steps=3)
+    assert out["img_per_s"] > 0
+    assert out["vs_chip"]["models"]["declip_res50"]["chip_img_per_s"] > 0
+    assert out["vs_chip"]["models"]["declip_res50"]["workers_for_1x"] >= 1
+
+
+def test_geometry_transforms_pickle():
+    """Geometry transforms must pickle (the device-aug override rides into
+    worker_type: process loader workers via the proc spec)."""
+    import pickle
+
+    from declip_tpu.data.transforms import (
+        build_common_augmentation,
+        build_geometry_augmentation,
+    )
+
+    from PIL import Image
+    import numpy as np
+
+    img = Image.new("RGB", (320, 240), (120, 30, 60))
+    for preset in ("STANDARD_CLIP", "ONECROP", "MOCOV2", "SLIP"):
+        t = pickle.loads(pickle.dumps(build_geometry_augmentation(preset)))
+        out = t(img)
+        assert out.dtype == np.uint8
+    t = pickle.loads(pickle.dumps(build_common_augmentation("MOCOV2")))
+    assert t(img) is not None

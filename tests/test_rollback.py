@@ -68,3 +68,65 @@ def test_rollback_restores_old_checkpoint(tmp_path):
     cfg2["_config_path"] = str(tmp_path / "config.yaml")
     solver2 = Solver(cfg2)
     assert not solver2._rollback(9)
+
+
+def test_rollback_reset_opt_reference_mode(tmp_path):
+    """saver.rollback_reset_opt: reference-exact recovery
+    (declip_solver.py:600-607) — Adam moments zeroed / bias-correction
+    count restarted, but the rebuilt schedule fast-forwarded to the
+    restored step so the LR does not silently replay warmup from 0."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from declip_tpu.config import override, parse_config
+    from declip_tpu.checkpoint import save_checkpoint
+    from declip_tpu.solver import Solver
+
+    shutil.copy(CONFIG_SRC, tmp_path / "config.yaml")
+    cfg = parse_config(str(tmp_path / "config.yaml"))
+    cfg = override(cfg, "lr_scheduler.kwargs.max_iter", 10)
+    cfg = override(cfg, "saver.rollback", True)
+    cfg = override(cfg, "saver.rollback_reset_opt", True)
+    cfg = override(cfg, "data.test", [])
+    cfg["_config_path"] = str(tmp_path / "config.yaml")
+    solver = Solver(cfg)
+
+    # dirty the moments so a restore-without-reset would be visible
+    dirty_opt = jax.tree.map(
+        lambda x: x + 1.0 if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        solver.state.opt_state)
+    solver.state = solver.state.replace(opt_state=dirty_opt)
+    for step in (1, 2, 3, 4):
+        solver.state = solver.state.replace(step=jnp.asarray(step, jnp.int32))
+        save_checkpoint(solver.path.ckpt_path, solver.state, save_many=True)
+    solver.state = solver.state.replace(step=jnp.asarray(9, jnp.int32))
+
+    assert solver._rollback(9)
+    restored_step = int(solver.state.step)
+    assert restored_step in (1, 2)
+
+    counts, moments = [], []
+
+    def walk(s):
+        if isinstance(s, optax.ScaleByScheduleState):
+            counts.append(int(s.count))
+            return s
+        if isinstance(s, optax.ScaleByAdamState):
+            moments.append(s)
+            counts.append(("adam", int(s.count)))
+            return s
+        return s
+
+    jax.tree.map(walk, solver.state.opt_state,
+                 is_leaf=lambda s: isinstance(
+                     s, (optax.ScaleByScheduleState, optax.ScaleByAdamState)))
+    # schedule count fast-forwarded to the restored step
+    assert any(c == restored_step for c in counts if isinstance(c, int))
+    # Adam restarted: count 0, moments exactly zero (the checkpoint's were
+    # dirtied to nonzero above, so this proves the reset happened)
+    adam_counts = [c[1] for c in counts if isinstance(c, tuple)]
+    assert adam_counts and all(c == 0 for c in adam_counts)
+    for st in moments:
+        assert all(float(jnp.abs(leaf).max()) == 0.0
+                   for leaf in jax.tree.leaves((st.mu, st.nu)))
