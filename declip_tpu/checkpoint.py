@@ -111,21 +111,39 @@ def wait_for_pending_saves() -> None:
 
 
 def _write_state(host_state, step: int, path: str, ckpt_dir: str,
-                 k_times_dir: Optional[str]) -> str:
+                 k_times_dir: Optional[str], meta: Optional[dict]) -> str:
     blob = serialization.to_bytes(host_state)
     _write_bytes(path, blob)
     meta_path = _join(ckpt_dir, "ckpt_meta.json")
     _write_bytes(meta_path,
-                 json.dumps({"last_iter": step, "path": path}).encode())
+                 json.dumps({"last_iter": step, "path": path,
+                             **(meta or {})}).encode())
     if k_times_dir is not None:
         _ensure_dir(k_times_dir)
         _write_bytes(_join(k_times_dir, f"ckpt_{step}.msgpack"), blob)
     return path
 
 
+def load_checkpoint_meta(ckpt_dir: str) -> dict:
+    """The ckpt_meta.json sidecar ({} when absent/unreadable). Carries the
+    saving run's topology (world_size/host_batch/global_batch) for
+    world-size-elastic resume."""
+    try:
+        fs, d = _fs_for(ckpt_dir)
+        meta_path = _join(ckpt_dir, "ckpt_meta.json")
+        if fs is None:
+            with open(meta_path) as f:
+                return json.load(f)
+        with fs.open(meta_path) as f:
+            return json.load(f)
+    except Exception:  # noqa: BLE001 — older/foreign ckpt dirs have no meta
+        return {}
+
+
 def save_checkpoint(ckpt_dir: str, state, *, save_many: bool = False,
                     k_times_dir: Optional[str] = None,
-                    async_write: bool = False) -> str:
+                    async_write: bool = False,
+                    meta: Optional[dict] = None) -> str:
     """Host-side save (call on process 0). Returns the written path.
 
     ``async_write=True`` overlaps the msgpack serialization + file write
@@ -139,9 +157,10 @@ def save_checkpoint(ckpt_dir: str, state, *, save_many: bool = False,
     path = _join(ckpt_dir, name)
     if async_write:
         _pending.append(_get_writer().submit(
-            _write_state, host_state, step, path, ckpt_dir, k_times_dir))
+            _write_state, host_state, step, path, ckpt_dir, k_times_dir,
+            meta))
         return path
-    return _write_state(host_state, step, path, ckpt_dir, k_times_dir)
+    return _write_state(host_state, step, path, ckpt_dir, k_times_dir, meta)
 
 
 def find_last_checkpoint(ckpt_dir: str) -> Optional[str]:

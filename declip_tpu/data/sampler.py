@@ -63,11 +63,23 @@ class DistributedSampler:
 
 class DistributedGivenIterationSampler:
     """Per-rank index stream for exactly ``total_iter`` steps
-    (sampler.py:57-106)."""
+    (sampler.py:57-106).
+
+    ``orig_world_size``/``orig_batch_size``: world-size-elastic resume
+    (beyond-reference — the reference's slabs are world-size-baked, so a
+    run can only ever resume on the topology it started on). When a
+    checkpoint saved at N hosts restores onto M, pass the ORIGINAL layout
+    and this sampler reconstructs the original run's per-iteration GLOBAL
+    batches and re-shards them rank-major onto the new topology — every
+    global batch (and therefore the training trajectory under SPMD) is
+    IDENTICAL to the uninterrupted original run. Requires the global batch
+    to be conserved (new world x batch == orig world x batch)."""
 
     def __init__(self, dataset_size: int, total_iter: int, batch_size: int,
                  world_size: int = 1, rank: int = 0, last_iter: int = -1,
-                 seed: int = 0, shuffle: bool = True):
+                 seed: int = 0, shuffle: bool = True,
+                 orig_world_size: Optional[int] = None,
+                 orig_batch_size: Optional[int] = None):
         self.dataset_size = dataset_size
         self.total_iter = total_iter
         self.batch_size = batch_size
@@ -76,23 +88,42 @@ class DistributedGivenIterationSampler:
         self.last_iter = last_iter
         self.seed = seed
         self.shuffle = shuffle
+        self.orig_world_size = int(orig_world_size or world_size)
+        self.orig_batch_size = int(orig_batch_size or batch_size)
         self.total_size = total_iter * batch_size
         self.indices = self._gen_indices()
         self.call = 0
 
     def _gen_indices(self) -> np.ndarray:
         """Reference algorithm (sampler.py:81-104): seed(0), tile the dataset
-        to world_size*total_size, shuffle globally, slice own slab."""
+        to world_size*total_size, shuffle globally, slice own slab. The
+        elastic path builds the ORIGINAL topology's array and re-shards."""
+        ow, ob = self.orig_world_size, self.orig_batch_size
+        elastic = (ow, ob) != (self.world_size, self.batch_size)
+        if elastic and ow * ob != self.world_size * self.batch_size:
+            raise ValueError(
+                f"elastic resume must conserve the global batch: original "
+                f"{ow} x {ob} != new {self.world_size} x {self.batch_size}")
+        gw, gb = (ow, ob) if elastic else (self.world_size, self.batch_size)
+        per_rank = self.total_iter * gb
         rng = np.random.RandomState(self.seed)
-        all_size = self.total_size * self.world_size
+        all_size = per_rank * gw
         indices = np.arange(self.dataset_size)
         indices = indices[:all_size]
         num_repeat = (all_size - 1) // indices.shape[0] + 1
         indices = np.tile(indices, num_repeat)[:all_size]
         if self.shuffle:
             rng.shuffle(indices)
-        beg = self.total_size * self.rank
-        return indices[beg:beg + self.total_size]
+        if not elastic:
+            beg = self.total_size * self.rank
+            return indices[beg:beg + self.total_size]
+        # original layout: rank r's slab is contiguous; iteration t's global
+        # batch is the rank-major concat of every rank's t-th slice
+        global_batches = indices.reshape(gw, self.total_iter, gb) \
+            .transpose(1, 0, 2).reshape(self.total_iter, gw * gb)
+        mine = global_batches.reshape(
+            self.total_iter, self.world_size, self.batch_size)[:, self.rank]
+        return np.ascontiguousarray(mine).reshape(-1)
 
     def __iter__(self) -> Iterator[int]:
         start = (self.last_iter + 1) * self.batch_size

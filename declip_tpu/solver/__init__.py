@@ -309,6 +309,12 @@ class Solver:
         if isinstance(self.test_cfgs, dict):
             self.test_cfgs = [self.test_cfgs]
 
+    def _ckpt_meta(self) -> dict:
+        """Topology sidecar for world-size-elastic resume: what the sampler
+        stream was laid out for when this checkpoint was written."""
+        return {"world_size": self.world, "host_batch": self.host_batch,
+                "global_batch": self.global_batch}
+
     def _train_loader(self, last_iter: int) -> ClipDataLoader:
         if self.device_aug is not None:
             # on-device pipeline: swap the dataset transform to geometry-only
@@ -319,6 +325,12 @@ class Solver:
                 self.device_aug["preset"])
         split_cfg = dict(self.train_cfg)
         split_cfg["batch_size"] = self.host_batch  # per-host loader batch
+        if getattr(self, "_elastic_orig", None):
+            scfg = dict(split_cfg.get("sampler") or {})
+            kw = dict(scfg.get("kwargs") or {})
+            kw["orig_world_size"], kw["orig_batch_size"] = self._elastic_orig
+            scfg["kwargs"] = kw
+            split_cfg["sampler"] = scfg
         split_cfg.setdefault("seed", int(self.config.get_path("seed", 0)))
         # DeCLIP extras flow from the model config (declip.py:203-212)
         split_cfg["eda"] = bool(getattr(self.model, "EDA", False)) and \
@@ -453,6 +465,38 @@ class Solver:
                     self.start_step = int(state.step)
                     self.logger.info(
                         f"auto-resumed from {last} at step {self.start_step}")
+        # world-size-elastic resume (beyond-reference; the reference's
+        # sampler slabs are world-size-baked, sampler.py:57-106): when the
+        # checkpoint was written on a DIFFERENT topology, reconstruct the
+        # original run's global batch stream and re-shard it (data/sampler
+        # orig_world_size/orig_batch_size) so the training trajectory is
+        # identical to the uninterrupted run. Requires a conserved global
+        # batch; preemption-tolerant pods shrink/grow hosts, not math.
+        self._elastic_orig = None
+        if self.start_step > 0:
+            from declip_tpu.checkpoint import load_checkpoint_meta
+
+            meta = load_checkpoint_meta(self.path.ckpt_path)
+            ow = int(meta.get("world_size", self.world))
+            ohb = int(meta.get("host_batch", self.host_batch))
+            if (ow, ohb) != (self.world, self.host_batch):
+                if ow * ohb != self.world * self.host_batch:
+                    raise ValueError(
+                        f"resuming a {ow}x{ohb} run on {self.world} host(s) "
+                        f"x {self.host_batch} changes the global batch "
+                        f"({ow * ohb} -> {self.world * self.host_batch}); "
+                        "elastic resume conserves it — adjust batch_size")
+                stype = dict(self.train_cfg.get("sampler") or {}).get(
+                    "type", "distributed_iteration")
+                if stype != "distributed_iteration":
+                    raise ValueError(
+                        "world-size-elastic resume supports sampler.type "
+                        f"distributed_iteration only (got {stype})")
+                self._elastic_orig = (ow, ohb)
+                self.logger.info(
+                    f"elastic resume: checkpoint topology {ow} host(s) x "
+                    f"batch {ohb} -> {self.world} x {self.host_batch}; "
+                    "re-sharding the original sampler stream")
         # pretrain weights (model only, fresh optimizer/step) when nothing
         # was resumed (clip_solver.py:140-163 + misc.py modify_state)
         pretrain_path = self.config.get_path("saver.pretrain.path")
@@ -659,7 +703,8 @@ class Solver:
                         self.path.ckpt_path, self.state,
                         save_many=save_many, k_times_dir=k_dir,
                         async_write=bool(self.config.get_path(
-                            "saver.async_save", True)))
+                            "saver.async_save", True)),
+                        meta=self._ckpt_meta())
                     gc_checkpoints(self.path.ckpt_path, keep=keep)
 
             if preempt.is_set():
@@ -681,7 +726,8 @@ class Solver:
             # drain in-flight async writes BEFORE the final synchronous save
             # (they share ckpt_meta.json; last writer must be the newest)
             wait_for_pending_saves()
-            save_checkpoint(self.path.ckpt_path, self.state, save_many=True)
+            save_checkpoint(self.path.ckpt_path, self.state, save_many=True,
+                            meta=self._ckpt_meta())
         if not preempt.is_set():  # the grace window is for IO, not eval
             self.validate(step)
         self.writer.close()
