@@ -357,13 +357,20 @@ class Transformer(nn.Module):
                 "dots": jax.checkpoint_policies.dots_saveable,
                 "all": jax.checkpoint_policies.everything_saveable,
             }[self.remat_policy]
-            # same CSE hazard as the full-remat branch: under an unrolled
-            # scan the inlined bodies expose the recomputed elementwise
-            # chains to CSE, silently un-remat-ing them (pp.py applies the
-            # identical rule). Rolled scans keep prevent_cse=False — the
-            # loop structure already isolates the recompute and barriers
-            # would block XLA fusion inside the body.
-            block = nn.remat(block, prevent_cse=prevent_cse, policy=policy)
+            # The CSE hazard exists here too, but the trade is OPPOSITE to
+            # the full-remat branch: measured on chip (v5e, B=128/B=32
+            # defaults), emitting barriers in this default policy branch
+            # costs 3.5-8% step throughput on EVERY model (DeCLIP-R50
+            # 729.9->696.3, CLIP B/32 2008.6->1883.7, DeCLIP B/32
+            # 969.9->891.5, ViT-L/14 156.9->151.3 pairs/s) because the
+            # optimization_barriers fence XLA's elementwise fusion across
+            # layer boundaries — while the memory the policy remat protects
+            # (~VPU intermediates) is NOT load-bearing at default batch
+            # sizes. Let CSE keep the fused/faster program here; when
+            # activation memory actually binds, users set `checkpoint: true`
+            # (full remat, barrier-protected above) — that path was the
+            # measured ViT-L/14 B=64 17.8GB bug, and it keeps its barriers.
+            block = nn.remat(block, prevent_cse=False, policy=policy)
         scanned = nn.scan(
             block,
             variable_axes={"params": 0},

@@ -103,8 +103,12 @@ def pipeline_transformer(
 
     # prevent_cse: with the layer scan inside the stage unrolled (>1), the
     # inlined bodies sit next to their forward values and XLA CSE would
-    # silently defeat the remat — same hazard as models/layers.py; barriers
-    # are only skipped for the rolled scan, whose loop structure protects it
+    # silently defeat the remat — same hazard as models/layers.py's full-
+    # remat branch. Unlike layers.py's default policy branch (where barriers
+    # measured a 3.5-8% throughput tax and the memory is not load-bearing,
+    # so CSE is allowed to win), pp exists to FIT models that don't
+    # otherwise fit: stage remat memory is the point, so barriers stay on
+    # for both branches whenever bodies are unrolled.
     prevent_cse = unroll > 1
     if remat_policy == "full":
         stage_remat = lambda f: jax.checkpoint(  # noqa: E731
