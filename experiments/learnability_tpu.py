@@ -10,6 +10,14 @@ above within a few hundred steps.
 
 Usage: python experiments/learnability_tpu.py [--steps 600] [--batch 128]
 Prints one JSON line: losses, zero-shot top-1, steps/s.
+
+--recipe clip|declip + --pool N run the data-efficiency A/B
+(VERDICT r4 #1c): a FIXED pool of N rendered images (the YFCC15M-like
+limited-data regime where the reference's model zoo shows DeCLIP's gain,
+README.md:199-218 — CLIP 32.8% -> DeCLIP 43.2% zero-shot) trained for few
+steps, evaluated on held-out fresh renderings. The A/B checks the ORDERING
+(DeCLIP >= CLIP from identical pools/towers/schedules), not the absolute
+numbers — colored shapes are not YFCC.
 """
 
 import argparse
@@ -43,13 +51,41 @@ from declip_tpu.utils.compile_cache import enable_compile_cache
 RES = 32
 
 
-def make_batch(rng, tok, n):
+class Pool:
+    """Fixed training pool: the limited-data regime. Second views pair each
+    sample with ANOTHER pool member of the same class (DeCLIP's aug view),
+    falling back to itself when the class has a single member."""
+
+    def __init__(self, rng, size, res):
+        self.imgs, self.idx = render_class_batch(rng, size, res=res)
+        self.by_class = {c: np.flatnonzero(self.idx == c)
+                         for c in range(len(CLASSES))}
+
+    def sample(self, rng, n):
+        sel = rng.integers(0, len(self.idx), n)
+        idx = self.idx[sel]
+        alt = np.array([
+            rng.choice(self.by_class[c]) if len(self.by_class[c]) > 1 else s
+            for s, c in zip(sel, idx)])
+        return self.imgs[sel], self.imgs[alt], idx
+
+
+def make_batch(rng, tok, n, pool=None, recipe="declip"):
     """DeCLIP batch: two views stacked on channels, two caption streams,
-    MLM-masked main tokens (dataloader.py:95-122 layout)."""
-    imgs, idx = render_class_batch(rng, n, res=RES)
-    # view 2: an independent rendering of the SAME class — a strictly
-    # harder positive than the usual photometric aug of one image
-    imgs2 = np.stack([render(rng, *CLASSES[i], res=RES) for i in idx])
+    MLM-masked main tokens (dataloader.py:95-122 layout). recipe="clip"
+    keeps a single view + plain tokens only."""
+    if pool is not None:
+        imgs, imgs2, idx = pool.sample(rng, n)
+    else:
+        imgs, idx = render_class_batch(rng, n, res=RES)
+        # view 2: an independent rendering of the SAME class — a strictly
+        # harder positive than the usual photometric aug of one image
+        imgs2 = np.stack([render(rng, *CLASSES[i], res=RES) for i in idx])
+    if recipe == "clip":
+        return {
+            "images": jnp.asarray(imgs),
+            "tokens": jnp.asarray(tok.tokenize(captions(idx))),
+        }, idx
     tokens = tok.tokenize(captions(idx))
     tokens_aug = tok.tokenize(captions(idx, template="a photo of a {} {}"))
     mlm_tokens, mlm_labels = mask_tokens(
@@ -69,13 +105,22 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=600)
     ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--recipe", default="declip", choices=["clip", "declip"])
+    ap.add_argument("--pool", type=int, default=0,
+                    help="fixed training-pool size (0: unlimited fresh "
+                         "renderings) — the data-efficiency A/B regime")
+    ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
     enable_compile_cache()
 
     tok = get_tokenizer(None)  # hermetic byte-fallback vocab
     dim = 64
+    clip_kwargs = {"use_allgather": False}
+    if args.recipe == "declip":
+        clip_kwargs.update(text_mask_type="MLM", return_nn_bank=True,
+                           feature_dim=dim)
     model = model_entry({
-        "type": "declip_vitb32",
+        "type": f"{args.recipe}_vitb32",
         "kwargs": {
             "image_encode": {"embed_dim": dim, "input_resolution": RES,
                              "patch_size": 8, "width": 64, "layers": 2,
@@ -83,8 +128,7 @@ def main():
             "text_encode": {"embed_dim": dim, "transformer_width": 64,
                             "transformer_heads": 2, "transformer_layers": 2,
                             "vocab_size": tok.vocab_size},
-            "clip": {"use_allgather": False, "text_mask_type": "MLM",
-                     "return_nn_bank": True, "feature_dim": dim},
+            "clip": clip_kwargs,
             "dtype": "bfloat16",
         },
     })
@@ -92,10 +136,14 @@ def main():
 clip_simsiam_loss_weight: {clip_loss: 0.4, nn_text: 0.2, simsiam_loss: 0.2, masking_language: 0.2}
 data: {train: {image_text_two_view: True}}
 grad_clip: {type: logit_scale_param_value, value: 2, max_value: 5}
+""" if args.recipe == "declip" else """
+grad_clip: {type: logit_scale_param_value, value: 2, max_value: 5}
 """)
 
-    rng = np.random.default_rng(0)
-    probe, _ = make_batch(rng, tok, args.batch)
+    rng = np.random.default_rng(args.seed)
+    pool = Pool(np.random.default_rng(1234), args.pool, RES) \
+        if args.pool else None
+    probe, _ = make_batch(rng, tok, args.batch, pool, args.recipe)
     variables = jax.jit(
         lambda: model.init(jax.random.PRNGKey(0), probe, train=True))()
     sched = scheduler_entry(
@@ -111,16 +159,17 @@ grad_clip: {type: logit_scale_param_value, value: 2, max_value: 5}
     state = new_train_state(
         params=variables["params"], batch_stats={},
         opt_state=tx.init(variables["params"]),
-        bank_text=init_bank(jax.random.PRNGKey(1), 1024, dim))
+        bank_text=(init_bank(jax.random.PRNGKey(1), 1024, dim)
+                   if args.recipe == "declip" else None))
     step = jax.jit(make_train_step(model, tx, cfg, sched,
-                                   method="declip",
+                                   method=args.recipe,
                                    total_steps=args.steps),
                    donate_argnums=(0,))
 
     first_loss = last_loss = None
     t0 = None
     for i in range(args.steps):
-        batch, _ = make_batch(rng, tok, args.batch)
+        batch, _ = make_batch(rng, tok, args.batch, pool, args.recipe)
         state, metrics = step(state, batch)
         if i == 0:
             first_loss = float(metrics["loss"])  # also syncs past compile
@@ -144,14 +193,17 @@ grad_clip: {type: logit_scale_param_value, value: 2, max_value: 5}
     top1 = float((np.asarray(jnp.argmax(i_feat @ t_feat.T, axis=-1))
                   == idx).mean())
     print(json.dumps({
-        "recipe": "declip (2 views + MLM + SimSiam + NN bank), bf16",
+        "recipe": ("declip (2 views + MLM + SimSiam + NN bank), bf16"
+                   if args.recipe == "declip" else "clip, bf16"),
+        "pool": args.pool, "seed": args.seed,
         "backend": jax.default_backend(),
         "steps": args.steps, "batch": args.batch,
         "first_loss": round(first_loss, 3), "last_loss": round(last_loss, 3),
         "zero_shot_top1": round(top1, 4), "chance": 1 / 16,
         "train_steps_per_s": round(steps_per_s, 2),
     }))
-    assert top1 > 0.40, f"zero-shot top-1 {top1:.1%} — not learning"
+    if not args.pool:
+        assert top1 > 0.40, f"zero-shot top-1 {top1:.1%} — not learning"
 
 
 if __name__ == "__main__":
