@@ -39,12 +39,19 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, causal, valid_len):
-    q = q_ref[0].astype(jnp.float32)  # [L, Dh]
-    k = k_ref[0].astype(jnp.float32)
+    # Matmul OPERANDS stay in the input dtype (bf16 on TPU) with fp32
+    # accumulation via preferred_element_type — the MXU's native mode and
+    # the same contraction dtype XLA uses for the unfused path. Measured
+    # (experiments/attn_kernel_bench.py, L=257 B=32 H=16): throughput is a
+    # WASH vs upcasting operands to fp32 first (fwd+bwd 1.63 vs 1.62 ms) —
+    # this kernel is softmax/VPU-bound at these shapes, not MXU-bound —
+    # so bf16 operands are kept for dtype parity with XLA, not speed.
+    q = q_ref[0]  # [L, Dh]
+    k = k_ref[0]
     v = v_ref[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [L, L]
+    ) * scale  # [L, L] fp32
     L = s.shape[0]
     col = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
     mask = col < valid_len
@@ -64,10 +71,15 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, causal, valid_len):
 
 def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
                 scale, causal, valid_len):
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    # Same operand-dtype rule as the forward (see _fwd_kernel: measured
+    # perf-neutral, kept for dtype parity with XLA). The softmax recompute
+    # and the ds algebra stay fp32; p/ds are cast back to the operand
+    # dtype only at the matmul boundary (standard bf16 flash backward).
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    dt = q.dtype
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -85,13 +97,14 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
     p = e / denom
 
     dv = jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p.astype(dt), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )  # [L, Dh]
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [L, L]
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    ds = jnp.where(mask, ds, 0.0) * scale
+    ds = (jnp.where(mask, ds, 0.0) * scale).astype(dt)
     dq = jax.lax.dot_general(
         ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
