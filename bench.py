@@ -723,7 +723,7 @@ LABELS = {"clip_vitb32": "CLIP ViT-B/32", "clip_vitb16": "CLIP ViT-B/16",
           "declip_res50": "DeCLIP-R50", "declip_vitb32": "DeCLIP ViT-B/32",
           "slip_vitb32": "SLIP ViT-B/32", "filip_vitb32": "FILIP ViT-B/32",
           "defilip_vitb32": "DeFILIP ViT-B/32"}
-DEFAULT_BATCH = {"clip_vitb32": 128, "clip_vitb16": 64, "clip_vitl14": 32,
+DEFAULT_BATCH = {"clip_vitb32": 128, "clip_vitb16": 64, "clip_vitl14": 48,
                  "clip_vitl14_336": 16,
                  "declip_res50": 128,
                  "declip_vitb32": 128, "slip_vitb32": 128,
