@@ -5,8 +5,10 @@ Solver (VERDICT r1 item 6). Only hermetic-necessity overrides are applied
 transforms, samplers, loss weights, optimizers, and grad-clip guards are the
 reference's own.
 
-All 11 configs are parametrized and all 11 pass (verified round 2,
-2026-08-16: `11 passed in 5652s`). These are FULL-SIZE models and the
+All 11 configs are parametrized and all 11 pass (re-verified under
+round-5 defaults, 2026-08-19, via tests/standalone_reference_configs.py
+on a 1-vCPU host: `11/11 passed`, 280-794s each; previously verified
+round 2, 2026-08-16: `11 passed in 5652s`). These are FULL-SIZE models and the
 XLA:CPU AOT cache does not reload across hosts (machine-feature mismatch),
 so each case costs minutes of compile; the default suite runs one config
 per method family + the declip88m pair's distinct shapes, and
